@@ -1,0 +1,461 @@
+"""Sliding-window VIO estimator core — the jitted per-frame steps.
+
+TPU-native ``backend::Estimator`` (src/backend/estimator.cpp). The per-frame
+work is split into three jitted device functions that the engine layer
+composes, mirroring the reference call order inside processImage:
+
+* ``bookkeeping_step``   — processIMU x batch + feature ingestion + keyframe
+  decision (estimator.cpp:107-134, feature add at :140-152).
+* ``solve_and_slide``    — solveOdometry (triangulate + optimize + gauge fix
+  + marginalization) followed by the window/feature slide and failure
+  removal (estimator.cpp:215-257, 288-340). NON_LINEAR only.
+* ``initial_advance_or_slide`` — the INITIAL-phase frame_count++ or
+  parallax-driven slide without marginalization (estimator.cpp:205-214).
+
+The one-time SfM + visual-inertial alignment runs on host
+(mobile_slam_tpu/init/), as in the reference where initialization is a cold
+path. Divergence/NaN guards (estimator.cpp:218-251) are returned as
+diagnostics; the engine layer performs resets (vio_engine.cpp:248-279).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mobile_slam_tpu.config import NUM_SLOTS, VIOConfig
+from mobile_slam_tpu.factors import marginalization
+from mobile_slam_tpu.factors.imu_factor import sqrt_info_from_cov
+from mobile_slam_tpu.frontend import feature_table as ft
+from mobile_slam_tpu.imu import preintegration as pre
+from mobile_slam_tpu.models.state import (
+    FeatureTable,
+    WindowState,
+    init_feature_table,
+    init_window,
+)
+from mobile_slam_tpu.solver import lm
+from mobile_slam_tpu.solver.assembly import Prior, SolverParams, XState, zero_prior
+from mobile_slam_tpu.utils import rotations as rot
+
+W = NUM_SLOTS
+
+
+class EstimatorState(NamedTuple):
+    window: WindowState
+    table: FeatureTable
+    prior: Prior
+    prev_acc: jax.Array     # (3,) last IMU sample seen
+    prev_gyr: jax.Array     # (3,)
+    frame_count: jax.Array  # () int32, < W during INITIAL, == W-1-slot use
+    first_imu_seen: jax.Array  # () bool
+
+
+class FrameInput(NamedTuple):
+    """One camera frame + the IMU batch of its interval (push API payload,
+    include/vio_engine.h:57-60)."""
+
+    ts: jax.Array        # () seconds, rebased to sequence start
+    ids: jax.Array       # (K,) int32
+    obs: jax.Array       # (K, 3) unit-z rays
+    uv: jax.Array        # (K, 2)
+    vel: jax.Array       # (K, 2)
+    valid: jax.Array     # (K,) bool
+    imu_dt: jax.Array    # (M,)
+    imu_acc: jax.Array   # (M, 3)
+    imu_gyr: jax.Array   # (M, 3)
+    imu_cnt: jax.Array   # () int32
+
+
+class StepDiag(NamedTuple):
+    is_keyframe: jax.Array
+    last_track_num: jax.Array
+    solver_cost0: jax.Array
+    solver_cost: jax.Array
+    accepted_steps: jax.Array
+    vel_norm: jax.Array
+    pos_norm: jax.Array
+    state_finite: jax.Array
+
+
+class StaticParams(NamedTuple):
+    """Runtime-tunable scalars as device arrays (retuning never recompiles,
+    replacing the reference's setMobileParams/setTrackingParams hooks,
+    src/vio_engine.cpp:354-389)."""
+
+    gravity: jax.Array          # (3,)
+    ex_t: jax.Array             # (3,)
+    ex_q: jax.Array             # (4,)
+    sqrt_info_proj: jax.Array   # ()
+    cauchy_scale: jax.Array     # ()
+    init_depth: jax.Array       # ()
+    min_parallax_norm: jax.Array  # () min_parallax / focal
+    noise: jax.Array            # (18, 18) IMU noise covariance
+
+
+def make_params(cfg: VIOConfig, dtype=jnp.float32) -> StaticParams:
+    cam = cfg.camera
+    est = cfg.estimator
+    return StaticParams(
+        gravity=jnp.asarray(est.gravity, dtype),
+        ex_t=jnp.asarray(cam.t_ic_vec, dtype),
+        ex_q=rot.rot_to_quat(jnp.asarray(cam.r_ic_mat, dtype)),
+        sqrt_info_proj=jnp.asarray(cam.focal_length / 1.5, dtype),
+        cauchy_scale=jnp.asarray(est.cauchy_scale, dtype),
+        init_depth=jnp.asarray(est.init_depth, dtype),
+        min_parallax_norm=jnp.asarray(est.min_parallax / cam.focal_length, dtype),
+        noise=pre.make_noise_cov(est.acc_n, est.gyr_n, est.acc_w, est.gyr_w,
+                                 dtype),
+    )
+
+
+def solver_params(p: StaticParams) -> SolverParams:
+    return SolverParams(
+        gravity=p.gravity,
+        sqrt_info_proj=p.sqrt_info_proj,
+        cauchy_scale=p.cauchy_scale,
+        init_depth=p.init_depth,
+    )
+
+
+def init_state(cfg: VIOConfig, params: StaticParams,
+               dtype=jnp.float32) -> EstimatorState:
+    """clearState() parity (estimator.cpp:36-63)."""
+    window = init_window(cfg.estimator.max_imu_per_interval, dtype)
+    table = init_feature_table(cfg.estimator.max_features, dtype)
+    prior = zero_prior(params.ex_t, params.ex_q, dtype)
+    return EstimatorState(
+        window=window, table=table, prior=prior,
+        prev_acc=jnp.zeros(3, dtype), prev_gyr=jnp.zeros(3, dtype),
+        frame_count=jnp.asarray(0, jnp.int32),
+        first_imu_seen=jnp.asarray(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMU ingestion (processIMU, estimator.cpp:107-134)
+# ---------------------------------------------------------------------------
+
+def _continue_preintegration(carry: pre.Preintegration, stream_acc, stream_gyr,
+                             dt, acc, gyr, count, noise) -> pre.Preintegration:
+    """push_back() a batch onto an existing preintegration (a scan whose
+    initial carry is the existing result)."""
+    m = dt.shape[0]
+    active = jnp.arange(m) < count
+    init = (carry.dp, carry.dq, carry.dv, carry.jac, carry.cov, carry.sum_dt,
+            stream_acc, stream_gyr)
+
+    def step(c, i):
+        return pre._midpoint_step(c, i, carry.lin_ba, carry.lin_bg, noise)
+
+    (dp, dq, dv, jac, cov, sum_dt, _, _), _ = jax.lax.scan(
+        step, init, (dt, acc, gyr, active)
+    )
+    return pre.Preintegration(dp, dq, dv, jac, cov, sum_dt,
+                              carry.lin_ba, carry.lin_bg)
+
+
+def ingest_imu(state: EstimatorState, inp: FrameInput,
+               params: StaticParams) -> EstimatorState:
+    """Preintegrate the frame's IMU batch into the current slot and propagate
+    the slot state forward (processIMU + propagateIMUState)."""
+    w = state.window
+    fc = jnp.clip(state.frame_count, 0, W - 1)
+
+    # First-ever IMU sample initializes prev_acc/prev_gyr (estimator.cpp:113-117).
+    has_any = inp.imu_cnt > 0
+    prev_acc = jnp.where(state.first_imu_seen, state.prev_acc, inp.imu_acc[0])
+    prev_gyr = jnp.where(state.first_imu_seen, state.prev_gyr, inp.imu_gyr[0])
+
+    # Continue (or start) the slot's preintegration with the new batch.
+    slot_pre = jax.tree.map(lambda leaf: leaf[fc], w.pre)
+    has_prev = w.imu_cnt[fc] > 0
+    fresh = pre.identity_preintegration(w.ba[fc], w.bg[fc])
+    carry_pre = jax.tree.map(
+        lambda cur, new: jnp.where(has_prev, cur, new), slot_pre, fresh
+    )
+    acc0 = jnp.where(has_prev, w.imu_acc0[fc], prev_acc)
+    gyr0 = jnp.where(has_prev, w.imu_gyr0[fc], prev_gyr)
+    m = w.imu_dt.shape[1]
+    last_idx = jnp.clip(w.imu_cnt[fc] - 1, 0, m - 1)
+    stream_acc = jnp.where(has_prev, w.imu_acc[fc, last_idx], acc0)
+    stream_gyr = jnp.where(has_prev, w.imu_gyr[fc, last_idx], gyr0)
+
+    new_pre = _continue_preintegration(
+        carry_pre, stream_acc, stream_gyr,
+        inp.imu_dt, inp.imu_acc, inp.imu_gyr, inp.imu_cnt, params.noise,
+    )
+    # Frame 0 never integrates (estimator.cpp:126).
+    skip = state.frame_count == 0
+    new_pre = jax.tree.map(
+        lambda new, old: jnp.where(skip, old, new), new_pre, slot_pre
+    )
+
+    # Append raw samples to the slot buffer (drop on overflow).
+    idx = w.imu_cnt[fc] + jnp.arange(m)
+    ok = (jnp.arange(m) < inp.imu_cnt) & (idx < m) & ~skip
+    widx = jnp.where(ok, idx, m)
+    imu_dt = w.imu_dt.at[fc, widx].set(inp.imu_dt, mode="drop")
+    imu_acc = w.imu_acc.at[fc, widx].set(inp.imu_acc, mode="drop")
+    imu_gyr = w.imu_gyr.at[fc, widx].set(inp.imu_gyr, mode="drop")
+    new_cnt = jnp.where(skip, w.imu_cnt[fc],
+                        jnp.minimum(w.imu_cnt[fc] + inp.imu_cnt, m))
+    imu_cnt = w.imu_cnt.at[fc].set(new_cnt.astype(jnp.int32))
+    imu_acc0 = w.imu_acc0.at[fc].set(acc0)
+    imu_gyr0 = w.imu_gyr0.at[fc].set(gyr0)
+
+    # World-state propagation of the current slot (skipped for frame 0).
+    p_new, q_new, v_new, _, _ = pre.propagate_state(
+        w.p[fc], w.q[fc], w.v[fc], w.ba[fc], w.bg[fc],
+        prev_acc, prev_gyr,
+        inp.imu_dt, inp.imu_acc, inp.imu_gyr, inp.imu_cnt, params.gravity,
+    )
+    # NaN guard (estimator.cpp:93-104).
+    good = (jnp.all(jnp.isfinite(p_new)) & jnp.all(jnp.isfinite(q_new))
+            & jnp.all(jnp.isfinite(v_new)) & ~skip)
+    p_w = w.p.at[fc].set(jnp.where(good, p_new, w.p[fc]))
+    q_w = w.q.at[fc].set(jnp.where(good, q_new, w.q[fc]))
+    v_w = w.v.at[fc].set(jnp.where(good, v_new, w.v[fc]))
+
+    last_i = jnp.clip(inp.imu_cnt - 1, 0, m - 1)
+    prev_acc = jnp.where(has_any, inp.imu_acc[last_i], prev_acc)
+    prev_gyr = jnp.where(has_any, inp.imu_gyr[last_i], prev_gyr)
+
+    window = w._replace(
+        p=p_w, q=q_w, v=v_w,
+        pre=jax.tree.map(lambda full, one: full.at[fc].set(one), w.pre, new_pre),
+        imu_dt=imu_dt, imu_acc=imu_acc, imu_gyr=imu_gyr, imu_cnt=imu_cnt,
+        imu_acc0=imu_acc0, imu_gyr0=imu_gyr0,
+    )
+    return state._replace(
+        window=window, prev_acc=prev_acc, prev_gyr=prev_gyr,
+        first_imu_seen=state.first_imu_seen | has_any,
+    )
+
+
+def bookkeeping_step(
+    state: EstimatorState,
+    inp: FrameInput,
+    params: StaticParams,
+) -> tuple[EstimatorState, jax.Array]:
+    """IMU ingestion + feature add + keyframe decision. Returns
+    (state, is_keyframe). Shared by both solver phases."""
+    state = ingest_imu(state, inp, params)
+    fc = jnp.clip(state.frame_count, 0, W - 1)
+    window = state.window._replace(ts=state.window.ts.at[fc].set(inp.ts))
+    add = ft.add_and_check_parallax(
+        state.table, inp.ids, inp.obs, inp.uv, inp.vel, inp.valid,
+        fc, params.min_parallax_norm,
+    )
+    return state._replace(window=window, table=add.table), add.is_keyframe
+
+
+# ---------------------------------------------------------------------------
+# Window slides (slideWindow, estimator.cpp:288-340)
+# ---------------------------------------------------------------------------
+
+def _slide_window_old(w: WindowState, prev_acc, prev_gyr) -> WindowState:
+    """Shift left; duplicate the newest frame into slot W-1 and open a fresh
+    interval (slideWindowOldKeyframe, estimator.cpp:314-325)."""
+    def shl(a):
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)  # new slot10 = old slot10
+
+    new = WindowState(
+        ts=shl(w.ts), p=shl(w.p), q=shl(w.q), v=shl(w.v),
+        ba=shl(w.ba), bg=shl(w.bg),
+        pre=jax.tree.map(shl, w.pre),
+        imu_dt=shl(w.imu_dt), imu_acc=shl(w.imu_acc), imu_gyr=shl(w.imu_gyr),
+        imu_cnt=shl(w.imu_cnt), imu_acc0=shl(w.imu_acc0),
+        imu_gyr0=shl(w.imu_gyr0),
+    )
+    fresh = pre.identity_preintegration(new.ba[W - 1], new.bg[W - 1])
+    return new._replace(
+        pre=jax.tree.map(lambda full, one: full.at[W - 1].set(one),
+                         new.pre, fresh),
+        imu_dt=new.imu_dt.at[W - 1].set(0.0),
+        imu_acc=new.imu_acc.at[W - 1].set(0.0),
+        imu_gyr=new.imu_gyr.at[W - 1].set(0.0),
+        imu_cnt=new.imu_cnt.at[W - 1].set(0),
+        imu_acc0=new.imu_acc0.at[W - 1].set(prev_acc),
+        imu_gyr0=new.imu_gyr0.at[W - 1].set(prev_gyr),
+    )
+
+
+def _slide_window_new(w: WindowState, prev_acc, prev_gyr,
+                      noise: jax.Array) -> WindowState:
+    """Merge the newest general frame into the previous interval
+    (slideWindowNewGeneralFrame, estimator.cpp:298-312)."""
+    m = w.imu_dt.shape[1]
+    pre9 = jax.tree.map(lambda leaf: leaf[W - 2], w.pre)
+    cnt9 = w.imu_cnt[W - 2]
+    last9 = jnp.clip(cnt9 - 1, 0, m - 1)
+    stream_acc = jnp.where(cnt9 > 0, w.imu_acc[W - 2, last9], w.imu_acc0[W - 2])
+    stream_gyr = jnp.where(cnt9 > 0, w.imu_gyr[W - 2, last9], w.imu_gyr0[W - 2])
+    merged = _continue_preintegration(
+        pre9, stream_acc, stream_gyr,
+        w.imu_dt[W - 1], w.imu_acc[W - 1], w.imu_gyr[W - 1], w.imu_cnt[W - 1],
+        noise,
+    )
+    idx = cnt9 + jnp.arange(m)
+    ok = (jnp.arange(m) < w.imu_cnt[W - 1]) & (idx < m)
+    widx = jnp.where(ok, idx, m)
+    imu_dt = w.imu_dt.at[W - 2, widx].set(w.imu_dt[W - 1], mode="drop")
+    imu_acc = w.imu_acc.at[W - 2, widx].set(w.imu_acc[W - 1], mode="drop")
+    imu_gyr = w.imu_gyr.at[W - 2, widx].set(w.imu_gyr[W - 1], mode="drop")
+    new_cnt9 = jnp.minimum(cnt9 + w.imu_cnt[W - 1], m)
+
+    new = w._replace(
+        ts=w.ts.at[W - 2].set(w.ts[W - 1]),
+        p=w.p.at[W - 2].set(w.p[W - 1]),
+        q=w.q.at[W - 2].set(w.q[W - 1]),
+        v=w.v.at[W - 2].set(w.v[W - 1]),
+        ba=w.ba.at[W - 2].set(w.ba[W - 1]),
+        bg=w.bg.at[W - 2].set(w.bg[W - 1]),
+        pre=jax.tree.map(lambda full, one: full.at[W - 2].set(one),
+                         w.pre, merged),
+        imu_dt=imu_dt.at[W - 1].set(0.0),
+        imu_acc=imu_acc.at[W - 1].set(0.0),
+        imu_gyr=imu_gyr.at[W - 1].set(0.0),
+        imu_cnt=w.imu_cnt.at[W - 2].set(new_cnt9.astype(jnp.int32))
+        .at[W - 1].set(0),
+        imu_acc0=w.imu_acc0.at[W - 1].set(prev_acc),
+        imu_gyr0=w.imu_gyr0.at[W - 1].set(prev_gyr),
+    )
+    fresh = pre.identity_preintegration(new.ba[W - 1], new.bg[W - 1])
+    return new._replace(
+        pre=jax.tree.map(lambda full, one: full.at[W - 1].set(one),
+                         new.pre, fresh)
+    )
+
+
+def _cam_pose(p, q, ex_t, ex_q):
+    r_wb = rot.quat_to_rot(q)
+    r_wc = r_wb @ rot.quat_to_rot(ex_q)
+    t_wc = p + r_wb @ ex_t
+    return r_wc, t_wc
+
+
+# ---------------------------------------------------------------------------
+# NON_LINEAR solve + slide (solveOdometry + slideWindow)
+# ---------------------------------------------------------------------------
+
+def solve_and_slide(
+    state: EstimatorState,
+    is_kf: jax.Array,
+    params: StaticParams,
+    num_iterations: int,
+) -> tuple[EstimatorState, jax.Array, jax.Array, StepDiag]:
+    """Triangulate, optimize, marginalize, slide. Returns
+    (state, body_p (3,), body_q (4,), diag) where the pose is the newest
+    window frame after optimization — what the reference logs per frame
+    (vio_system.cpp:248-295)."""
+    w = state.window
+    table = ft.triangulate(state.table, w.p, w.q, params.ex_t, params.ex_q,
+                           params.init_depth)
+    sp = solver_params(params)
+    w, table, res = lm.optimize(
+        w, table, state.prior, params.ex_t, params.ex_q, sp, num_iterations
+    )
+
+    # Marginalization at the post-gauge-fix state.
+    x_post = XState(p=w.p, q=w.q, v=w.v, ba=w.ba, bg=w.bg, lam=res.x.lam)
+    imu_sqrt_info = sqrt_info_from_cov(w.pre.cov[1:])
+
+    prior = jax.lax.cond(
+        is_kf,
+        lambda _: marginalization.marginalize_old(
+            x_post, table, w, imu_sqrt_info, state.prior,
+            params.ex_t, params.ex_q, sp,
+        ),
+        lambda _: marginalization.marginalize_new(
+            x_post, state.prior, params.ex_t, params.ex_q
+        ),
+        None,
+    )
+
+    r0_wc, t0_wc = _cam_pose(w.p[0], w.q[0], params.ex_t, params.ex_q)
+    r1_wc, t1_wc = _cam_pose(w.p[1], w.q[1], params.ex_t, params.ex_q)
+
+    def slide_kf(_):
+        return (
+            _slide_window_old(w, state.prev_acc, state.prev_gyr),
+            ft.slide_old(table, True, r0_wc, t0_wc, r1_wc, t1_wc,
+                         params.init_depth),
+        )
+
+    def slide_general(_):
+        return (
+            _slide_window_new(w, state.prev_acc, state.prev_gyr, params.noise),
+            ft.slide_new(table),
+        )
+
+    w2, table2 = jax.lax.cond(is_kf, slide_kf, slide_general, None)
+    table2 = ft.remove_failures(table2)
+
+    diag = StepDiag(
+        is_keyframe=is_kf,
+        last_track_num=jnp.asarray(0, jnp.int32),
+        solver_cost0=res.cost0,
+        solver_cost=res.cost,
+        accepted_steps=res.accepted,
+        vel_norm=jnp.linalg.norm(w.v[W - 1]),
+        pos_norm=jnp.linalg.norm(w.p[W - 1]),
+        state_finite=jnp.all(jnp.isfinite(w.p)) & jnp.all(jnp.isfinite(w.v))
+        & jnp.all(jnp.isfinite(w.q)),
+    )
+    new_state = state._replace(window=w2, table=table2, prior=prior)
+    return new_state, w.p[W - 1], w.q[W - 1], diag
+
+
+# ---------------------------------------------------------------------------
+# INITIAL-phase advance/slide (estimator.cpp:205-214)
+# ---------------------------------------------------------------------------
+
+def initial_advance_or_slide(
+    state: EstimatorState,
+    is_kf: jax.Array,
+    params: StaticParams,
+) -> EstimatorState:
+    """When the window is not full, advance frame_count (seeding the next
+    slot with the current state so IMU propagation continues from the latest
+    pose). When full (host init attempt failed), slide by parallax without
+    marginalization."""
+    w = state.window
+    fc = state.frame_count
+    full = fc >= (W - 1)
+
+    def advance(_):
+        nfc = jnp.clip(fc + 1, 0, W - 1)
+        w2 = w._replace(
+            p=w.p.at[nfc].set(w.p[fc]),
+            q=w.q.at[nfc].set(w.q[fc]),
+            v=w.v.at[nfc].set(w.v[fc]),
+            ba=w.ba.at[nfc].set(w.ba[fc]),
+            bg=w.bg.at[nfc].set(w.bg[fc]),
+        )
+        return w2, state.table, fc + 1
+
+    def slide(_):
+        def kf_slide(_):
+            r0_wc, t0_wc = _cam_pose(w.p[0], w.q[0], params.ex_t, params.ex_q)
+            r1_wc, t1_wc = _cam_pose(w.p[1], w.q[1], params.ex_t, params.ex_q)
+            return (
+                _slide_window_old(w, state.prev_acc, state.prev_gyr),
+                ft.slide_old(state.table, False, r0_wc, t0_wc, r1_wc, t1_wc,
+                             params.init_depth),
+            )
+
+        def gen_slide(_):
+            return (
+                _slide_window_new(w, state.prev_acc, state.prev_gyr,
+                                  params.noise),
+                ft.slide_new(state.table),
+            )
+
+        w2, t2 = jax.lax.cond(is_kf, kf_slide, gen_slide, None)
+        return w2, t2, fc
+
+    w2, table2, fc2 = jax.lax.cond(full, slide, advance, None)
+    return state._replace(window=w2, table=table2, frame_count=fc2)

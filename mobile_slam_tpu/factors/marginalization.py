@@ -1,0 +1,184 @@
+"""FEJ-style Schur-complement marginalization (TPU-native).
+
+Replaces the reference ``MarginalizationInfo`` / ``MarginalizationFactor``
+machinery (src/backend/factor/marginalization_factor.cpp): when a frame
+leaves the window, the factors touching it — the previous prior, the first
+IMU factor, and the projection factors anchored there (optimizer.cpp:263-368)
+— are linearized at the current (post-gauge-fix) state, the dropped states
+(frame block + anchored inverse depths) are Schur-eliminated
+(marginalization_factor.cpp:204-224), and the remaining Gauss-Newton system
+is eigen-factorized back into a square-root prior (J0, r0)
+(marginalization_factor.cpp:226-242).
+
+Everything is fixed-shape: the prior lives on the full 171-dim tangent with
+zero columns for uninvolved blocks, and the post-marginalization relabeling
+(the reference's addr_shift pointer maps, optimizer.cpp:374-404) is a static
+permutation matrix.
+
+The pthread x4 Hessian assembly (marginalization_factor.cpp:163-201) is
+replaced by the batched einsum assembly in solver/assembly.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobile_slam_tpu.config import NUM_SLOTS
+from mobile_slam_tpu.models.state import FeatureTable, WindowState, eligible_mask
+from mobile_slam_tpu.solver import assembly, layout
+from mobile_slam_tpu.solver.assembly import Prior, SolverParams, XState
+
+W = NUM_SLOTS
+S = layout.S
+EIG_EPS = 1e-8       # reference's absolute threshold (marginalization_factor.h:77)
+REL_EIG_EPS = 1e-4   # relative threshold after equilibration (float32-safe)
+
+_PERM = {}
+
+
+def _perm(kind: str, dtype) -> jax.Array:
+    # Cached as numpy; converted per call so jit traces see a fresh constant.
+    if kind not in _PERM:
+        _PERM[kind] = layout.shift_permutation(kind, np.float64)
+    return jnp.asarray(_PERM[kind], dtype=dtype)
+
+
+def _eliminate_lambdas(H, g, H_sl, H_ll, g_l, drop_mask):
+    """Schur-eliminate the (diagonal) dropped inverse-depth columns."""
+    w = drop_mask.astype(H.dtype)
+    inv = jnp.where(H_ll > 1e-10, 1.0 / jnp.maximum(H_ll, 1e-10), 0.0) * w
+    H2 = H - (H_sl * inv[None, :]) @ H_sl.T
+    g2 = g - H_sl @ (inv * g_l)
+    return H2, g2
+
+
+def _eliminate_frame_block(H, g, idx):
+    """Schur-eliminate a static index set (pseudo-inverse on the dropped
+    block, like the reference's eigen-thresholded Amm inverse,
+    marginalization_factor.cpp:204-211). Diagonal equilibration keeps the
+    eigendecomposition accurate in float32."""
+    H_mm = H[jnp.ix_(idx, idx)]
+    H_mm = 0.5 * (H_mm + H_mm.T)
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(H_mm), 1e-20, None))
+    Hn = H_mm / (d[:, None] * d[None, :])
+    evals, evecs = jnp.linalg.eigh(Hn)
+    emax = jnp.maximum(jnp.max(evals), 1e-20)
+    keep = evals > REL_EIG_EPS * emax
+    inv_evals = jnp.where(keep, 1.0 / jnp.maximum(evals, 1e-20), 0.0)
+    # H_mm⁻¹ = D⁻¹ Hn⁻¹ D⁻¹.
+    Hn_inv = (evecs * inv_evals[None, :]) @ evecs.T
+    H_mm_inv = Hn_inv / (d[:, None] * d[None, :])
+    H_rm = H[:, idx]
+    g_m = g[idx]
+    H2 = H - H_rm @ H_mm_inv @ H_rm.T
+    g2 = g - H_rm @ (H_mm_inv @ g_m)
+    # Zero the eliminated rows/cols so the permutation below moves clean data.
+    zmask = jnp.ones((S,), H.dtype).at[idx].set(0.0)
+    H2 = H2 * zmask[:, None] * zmask[None, :]
+    g2 = g2 * zmask
+    return H2, g2
+
+
+def _sqrt_factorize(H, g):
+    """H = J0ᵀ J0, g = J0ᵀ r0 via thresholded eigendecomposition
+    (marginalization_factor.cpp:226-242), equilibrated for float32: the
+    prior Hessian spans ~1e7 in magnitude (whitened vision blocks vs bias
+    blocks), so the eigensolve runs on D⁻¹HD⁻¹ with D = sqrt(diag)."""
+    H = 0.5 * (H + H.T)
+    diag = jnp.diagonal(H)
+    empty = diag <= 1e-18           # untouched blocks stay exactly zero
+    d = jnp.sqrt(jnp.where(empty, 1.0, diag))
+    Hn = H / (d[:, None] * d[None, :])
+    evals, evecs = jnp.linalg.eigh(Hn)
+    emax = jnp.maximum(jnp.max(evals), 1e-20)
+    keep = evals > REL_EIG_EPS * emax
+    sqrt_e = jnp.where(keep, jnp.sqrt(jnp.maximum(evals, 1e-20)), 0.0)
+    inv_sqrt_e = jnp.where(keep, 1.0 / jnp.maximum(sqrt_e, 1e-30), 0.0)
+    # Hn = Vᵀ E V  =>  J0 = sqrt(E) Vᵀ D  (then J0ᵀJ0 = D Hn D = H).
+    J0 = sqrt_e[:, None] * (evecs.T * d[None, :])
+    r0 = inv_sqrt_e * (evecs.T @ (g / d))
+    return J0, r0
+
+
+def _permuted_linearization(kind: str, x: XState, ex_t, ex_q) -> dict:
+    """Linearization states relabeled by the slide permutation."""
+    if kind == "old":
+        sl = [min(k + 1, W - 1) for k in range(W)]
+    else:
+        sl = [k for k in range(W - 2)] + [W - 1, W - 1]
+    sl = jnp.asarray(sl)
+    return dict(
+        p0=x.p[sl], q0=x.q[sl], v0=x.v[sl], ba0=x.ba[sl], bg0=x.bg[sl],
+        ex_t0=ex_t, ex_q0=ex_q,
+    )
+
+
+def marginalize_old(
+    x: XState,
+    table: FeatureTable,
+    window: WindowState,
+    imu_sqrt_info: jax.Array,
+    prior: Prior,
+    ex_t: jax.Array, ex_q: jax.Array,
+    params: SolverParams,
+) -> Prior:
+    """MARGIN_OLD_KEYFRAME: drop frame 0 + its anchored landmark depths
+    (Optimizer::marginalizeOldKeyframe, optimizer.cpp:263-288)."""
+    dtype = x.p.dtype
+    elig = eligible_mask(table)
+
+    # Factor subset: first IMU interval + projections anchored at frame 0.
+    imu_valid = jnp.zeros((W - 1,), bool).at[0].set(True)
+    imu_valid = imu_valid & (window.pre.sum_dt[1:] < 10.0) & (window.imu_cnt[1:] > 0)
+    proj_valid = assembly.proj_valid_mask(table) & (table.start == 0)[:, None]
+
+    prior_H0 = prior.J0.T @ prior.J0
+    eqs = assembly.build_normal_eqs(
+        x, table, window.pre, imu_sqrt_info, imu_valid, prior, prior_H0,
+        ex_t, ex_q, params, proj_valid,
+    )
+
+    drop_lam = elig & (table.start == 0)
+    H, g = _eliminate_lambdas(eqs.H_ss, eqs.g_s, eqs.H_sl, eqs.H_ll,
+                              eqs.g_l, drop_lam)
+    idx0 = jnp.asarray(layout.frame_block_indices(0), jnp.int32)
+    H, g = _eliminate_frame_block(H, g, idx0)
+
+    P = _perm("old", dtype)
+    H = P @ H @ P.T
+    g = P @ g
+    J0, r0 = _sqrt_factorize(H, g)
+    return Prior(J0=J0, r0=r0, **_permuted_linearization("old", x, ex_t, ex_q))
+
+
+def marginalize_new(
+    x: XState,
+    prior: Prior,
+    ex_t: jax.Array, ex_q: jax.Array,
+) -> Prior:
+    """MARGIN_NEW_GENERAL_FRAME: drop the pose of frame W-1 from the prior
+    alone (Optimizer::marginalizeNewGeneralFrame, optimizer.cpp:290-315).
+    If the prior does not involve pose[W-1], it is returned unchanged — the
+    reference skips marginalization entirely in that case."""
+    dtype = x.p.dtype
+    c0 = layout.pose_col(W - 1)
+    coupled = jnp.sum(jnp.abs(prior.J0[:, c0:c0 + 6])) > 0
+
+    dx = assembly.prior_dx(prior, x, ex_t, ex_q)
+    r = prior.r0 + prior.J0 @ dx
+    H = prior.J0.T @ prior.J0
+    g = prior.J0.T @ r
+
+    idx = jnp.arange(c0, c0 + 6, dtype=jnp.int32)
+    H2, g2 = _eliminate_frame_block(H, g, idx)
+    P = _perm("new", dtype)
+    H2 = P @ H2 @ P.T
+    g2 = P @ g2
+    J0, r0 = _sqrt_factorize(H2, g2)
+    new_prior = Prior(J0=J0, r0=r0,
+                      **_permuted_linearization("new", x, ex_t, ex_q))
+    return jax.tree.map(
+        lambda a, b: jnp.where(coupled, a, b), new_prior, prior
+    )

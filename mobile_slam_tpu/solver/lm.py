@@ -1,0 +1,205 @@
+"""Sliding-window Levenberg-Marquardt solver with landmark Schur complement.
+
+TPU-native replacement for the reference's Ceres DENSE_SCHUR + DOGLEG solve
+(Optimizer::solveCeresProblem, src/backend/optimizer.cpp:145-155): a
+fixed-iteration LM loop (the reference budgets <=10 iterations /
+max_solver_time) where each iteration
+
+  1. assembles the batched normal equations (assembly.py),
+  2. dampens with a Marquardt diagonal,
+  3. Schur-eliminates the (scalar) inverse depths — `H_ll` is diagonal, so
+     the reduced 165x165 system is one rank-F correction, solved by Cholesky,
+  4. retracts on the manifold (quaternion ⊞) and accepts/rejects by cost.
+
+After the loop the 4-dof gauge drift is removed exactly as
+``Optimizer::applyOptimizationResults`` does (optimizer.cpp:157-205):
+yaw+position of frame 0 are rotated back to their pre-solve values, with the
+euler-singularity fallback.
+
+The state/depth updates and NaN rollback mirror optimizer.cpp:36-55,
+feature_manager setDepth semantics (solve_flag=2 on negative depth).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mobile_slam_tpu.config import NUM_SLOTS
+from mobile_slam_tpu.factors.imu_factor import sqrt_info_from_cov
+from mobile_slam_tpu.models.state import FeatureTable, WindowState, eligible_mask
+from mobile_slam_tpu.solver import assembly, layout
+from mobile_slam_tpu.solver.assembly import Prior, SolverParams, XState
+from mobile_slam_tpu.utils import rotations as rot
+
+W = NUM_SLOTS
+S = layout.S
+NSOLVE = layout.EX_COL  # 165 solved dims (extrinsic held constant,
+                        # optimizer.cpp:73 SetParameterBlockConstant)
+
+
+class SolveResult(NamedTuple):
+    x: XState
+    cost0: jax.Array
+    cost: jax.Array
+    accepted: jax.Array  # number of accepted LM steps
+
+
+def _retract(x: XState, dx: jax.Array, dlam: jax.Array,
+             lam_mask: jax.Array) -> XState:
+    dpose = dx[0:layout.POSE_COLS].reshape(W, 6)
+    dsb = dx[layout.POSE_COLS:NSOLVE].reshape(W, 9)
+    return XState(
+        p=x.p + dpose[:, 0:3],
+        q=rot.quat_boxplus(x.q, dpose[:, 3:6]),
+        v=x.v + dsb[:, 0:3],
+        ba=x.ba + dsb[:, 3:6],
+        bg=x.bg + dsb[:, 6:9],
+        lam=x.lam + jnp.where(lam_mask, dlam, 0.0),
+    )
+
+
+def _solve_damped(eqs: assembly.NormalEqs, mu: jax.Array,
+                  lam_mask: jax.Array, dtype):
+    """One damped Schur-complement solve: returns (dx (165,), dlam (F,))."""
+    H = eqs.H_ss[:NSOLVE, :NSOLVE]
+    g = eqs.g_s[:NSOLVE]
+    H_sl = eqs.H_sl[:NSOLVE]
+
+    diag = jnp.diagonal(H)
+    H_d = H + jnp.diag(mu * diag + 1e-10)
+    hll = eqs.H_ll + mu * eqs.H_ll + 1e-12
+    hll = jnp.where(lam_mask, hll, 1.0)  # inert rows for inactive landmarks
+    inv_hll = 1.0 / hll
+
+    H_red = H_d - (H_sl * (inv_hll * lam_mask)[None, :]) @ H_sl.T
+    g_red = g - H_sl @ (inv_hll * eqs.g_l * lam_mask)
+
+    # Diagonal equilibration before the Cholesky: the reduced system mixes
+    # whitened vision (~1e5) and bias (~1e-2) scales, beyond float32's
+    # comfortable range.
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))
+    Hn = H_red / (d[:, None] * d[None, :])
+    L = jnp.linalg.cholesky(Hn)
+    dxn = -jax.scipy.linalg.cho_solve((L, True), g_red / d)
+    dx = dxn / d
+    dlam = -(eqs.g_l + H_sl.T @ dx) * inv_hll
+    # Cholesky failure (non-PSD) -> NaNs; caller's accept logic rejects them.
+    return dx, dlam
+
+
+def solve(
+    x0: XState,
+    table: FeatureTable,
+    window: WindowState,
+    prior: Prior,
+    ex_t: jax.Array,
+    ex_q: jax.Array,
+    params: SolverParams,
+    num_iterations: int,
+    mu_init: float = 1e-4,
+) -> SolveResult:
+    """Run the LM loop. Fixed iteration count (jit-static)."""
+    dtype = x0.p.dtype
+
+    imu_sqrt_info = sqrt_info_from_cov(window.pre.cov[1:])
+    imu_valid = (window.pre.sum_dt[1:] < 10.0) & (window.imu_cnt[1:] > 0)
+    proj_valid = assembly.proj_valid_mask(table)
+    lam_mask = eligible_mask(table)
+    prior_H0 = prior.J0.T @ prior.J0
+
+    def cost_fn(x):
+        return assembly.total_cost(
+            x, table, window.pre, imu_sqrt_info, imu_valid, prior,
+            ex_t, ex_q, params, proj_valid,
+        )
+
+    cost0 = cost_fn(x0)
+
+    def body(_, carry):
+        x, cost, mu, n_acc = carry
+        eqs = assembly.build_normal_eqs(
+            x, table, window.pre, imu_sqrt_info, imu_valid, prior, prior_H0,
+            ex_t, ex_q, params, proj_valid,
+        )
+        dx, dlam = _solve_damped(eqs, mu, lam_mask, dtype)
+        x_new = _retract(x, dx, dlam, lam_mask)
+        cost_new = cost_fn(x_new)
+        ok = jnp.isfinite(cost_new) & (cost_new < cost)
+        x = jax.tree.map(lambda a, b: jnp.where(ok, a, b), x_new, x)
+        cost = jnp.where(ok, cost_new, cost)
+        mu = jnp.where(ok, jnp.maximum(mu * 0.3, 1e-8), jnp.minimum(mu * 4.0, 1e4))
+        return x, cost, mu, n_acc + ok.astype(jnp.int32)
+
+    x, cost, _, n_acc = jax.lax.fori_loop(
+        0, num_iterations, body,
+        (x0, cost0, jnp.asarray(mu_init, dtype), jnp.asarray(0, jnp.int32)),
+    )
+    return SolveResult(x=x, cost0=cost0, cost=cost, accepted=n_acc)
+
+
+def apply_gauge_fix(x: XState, p0_old: jax.Array, q0_old: jax.Array) -> XState:
+    """Rotate the solution so frame-0 yaw and position match their pre-solve
+    values (applyOptimizationResults, optimizer.cpp:157-205)."""
+    r0_old = rot.quat_to_rot(q0_old)
+    r0_new = rot.quat_to_rot(x.q[0])
+    ypr_old = rot.r2ypr(r0_old)
+    ypr_new = rot.r2ypr(r0_new)
+    y_diff = ypr_old[0] - ypr_new[0]
+    rot_diff = rot.ypr2r(jnp.stack([y_diff, jnp.zeros_like(y_diff),
+                                    jnp.zeros_like(y_diff)]))
+    singular = (jnp.abs(jnp.abs(ypr_old[1]) - 90.0) < 1.0) | (
+        jnp.abs(jnp.abs(ypr_new[1]) - 90.0) < 1.0
+    )
+    rot_diff = jnp.where(singular, r0_old @ r0_new.T, rot_diff)
+    q_diff = rot.rot_to_quat(rot_diff)
+
+    p_fixed = (x.p - x.p[0:1]) @ rot_diff.T + p0_old
+    q_fixed = rot.quat_normalize(rot.quat_mul(q_diff[None, :], x.q))
+    v_fixed = x.v @ rot_diff.T
+    return XState(p=p_fixed, q=q_fixed, v=v_fixed, ba=x.ba, bg=x.bg, lam=x.lam)
+
+
+def optimize(
+    window: WindowState,
+    table: FeatureTable,
+    prior: Prior,
+    ex_t: jax.Array,
+    ex_q: jax.Array,
+    params: SolverParams,
+    num_iterations: int,
+) -> tuple[WindowState, FeatureTable, SolveResult]:
+    """Full Optimizer::optimize equivalent (minus marginalization, which the
+    caller runs next): solve, NaN rollback, gauge fix, write back depths."""
+    elig = eligible_mask(table)
+    safe_depth = jnp.where(table.depth > 0, table.depth, params.init_depth)
+    lam0 = jnp.where(elig, 1.0 / safe_depth, 1.0)
+    x0 = XState(p=window.p, q=window.q, v=window.v, ba=window.ba,
+                bg=window.bg, lam=lam0)
+
+    res = solve(x0, table, window, prior, ex_t, ex_q, params, num_iterations)
+
+    # NaN/Inf rollback (optimizer.cpp:47-55).
+    finite = jnp.all(jnp.asarray([
+        jnp.all(jnp.isfinite(res.x.p)), jnp.all(jnp.isfinite(res.x.q)),
+        jnp.all(jnp.isfinite(res.x.v)), jnp.all(jnp.isfinite(res.x.ba)),
+        jnp.all(jnp.isfinite(res.x.bg)), jnp.all(jnp.isfinite(res.x.lam)),
+    ]))
+    x = jax.tree.map(lambda a, b: jnp.where(finite, a, b), res.x, x0)
+
+    x = apply_gauge_fix(x, window.p[0], window.q[0])
+
+    window = window._replace(p=x.p, q=x.q, v=x.v, ba=x.ba, bg=x.bg)
+
+    # setDepth parity (feature_manager.cpp:96-110): depth = 1/λ;
+    # negative -> solve_flag 2 (removed later by remove_failures).
+    new_depth = 1.0 / x.lam
+    neg = new_depth < 0
+    depth = jnp.where(elig & ~neg, new_depth, table.depth)
+    solve_flag = jnp.where(
+        elig, jnp.where(neg, 2, 1).astype(jnp.int32), table.solve_flag
+    )
+    table = table._replace(depth=depth, solve_flag=solve_flag)
+    return window, table, res._replace(x=x)

@@ -18,8 +18,6 @@ import dataclasses
 
 import numpy as np
 
-from mobile_slam_tpu.utils import rotations as rot
-
 import jax.numpy as jnp
 
 
@@ -35,7 +33,16 @@ def _quat_mul_np(q1, q2):
 
 
 def _quat_to_rot_np(q):
-    return np.asarray(rot.quat_to_rot(jnp.asarray(q)))
+    w, x, y, z = np.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    r = np.stack([
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+    ], axis=-1)
+    return r.reshape(q.shape[:-1] + (3, 3))
 
 
 @dataclasses.dataclass

@@ -9,12 +9,12 @@ import os
 import sys
 import time
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault(
-    "XLA_FLAGS", "--xla_force_host_platform_device_count=1"
-)
-
 import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via config unless the
+# caller asks for the real device.
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

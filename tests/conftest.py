@@ -1,23 +1,21 @@
-"""Test harness config: run everything on a virtual 8-device CPU mesh.
+"""Test harness config.
 
-Multi-chip sharding is validated on host CPU devices
-(xla_force_host_platform_device_count=8) since only one real TPU chip is
-available; the driver separately dry-runs the multichip path.
+Tests run on CPU with float64 enabled so math-parity tests can validate
+against double precision (the reference engine is all-double); the
+production TPU path runs float32 and the code is dtype-polymorphic.
 
-float64 is enabled so math-parity tests can validate against double
-precision (the reference engine is all-double); the production TPU path
-runs float32 and the code is dtype-polymorphic.
+NOTE: the axon TPU plugin ignores the JAX_PLATFORMS environment variable, so
+the CPU backend must be forced via jax.config (otherwise every eager op is a
+round trip through the TPU tunnel and the suite crawls).
+
+The virtual multi-device mesh (xla_force_host_platform_device_count) is NOT
+set here: it slows XLA:CPU compilation of the large estimator graphs ~8x on
+small machines. Sharding tests spawn a subprocess with their own 8-device
+environment, and the driver separately dry-runs the multi-chip path via
+__graft_entry__.dryrun_multichip.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -410,6 +410,91 @@ def solve_and_slide(
 
 
 # ---------------------------------------------------------------------------
+# Initialization injection (visualInitialAlign, initializer.cpp:348-424)
+# ---------------------------------------------------------------------------
+
+def repropagate_window(window: WindowState, ba: jax.Array, bg: jax.Array,
+                       noise: jax.Array) -> WindowState:
+    """Re-run every slot's preintegration with new linearization biases from
+    the stored raw buffers (IntegrationBase::repropagate for the whole
+    window, initializer.cpp:382-384)."""
+    def one(acc0, gyr0, dt, acc, gyr, cnt):
+        return pre.preintegrate(acc0, gyr0, dt, acc, gyr, cnt, ba, bg, noise)
+
+    new_pre = jax.vmap(one)(
+        window.imu_acc0, window.imu_gyr0, window.imu_dt, window.imu_acc,
+        window.imu_gyr, window.imu_cnt,
+    )
+    return window._replace(pre=new_pre)
+
+
+def apply_initialization(
+    state: EstimatorState,
+    p_cam: jax.Array,     # (11, 3) SfM camera positions (scale-free, l-frame)
+    q_body: jax.Array,    # (11, 4) body orientations (l-frame)
+    v_world: jax.Array,   # (11, 3) body-frame-rotated velocities R_i x_i
+    bg: jax.Array,        # (3,)
+    gravity_l: jax.Array, # (3,) gravity estimate in the l-frame
+    scale: jax.Array,     # ()
+    params: StaticParams,
+) -> tuple[EstimatorState, jax.Array]:
+    """Write the initialization solution into the window and landmark bank,
+    then rotate everything into the gravity-aligned yaw-zeroed world frame.
+    Returns (state, world gravity vector)."""
+    dtype = state.window.p.dtype
+    w = state.window._replace(
+        p=p_cam.astype(dtype),
+        q=q_body.astype(dtype),
+        ba=jnp.zeros((W, 3), dtype),
+        bg=jnp.tile(bg.astype(dtype), (W, 1)),
+    )
+
+    # Reset depths, re-triangulate on camera poses with t_ic = 0
+    # (initializer.cpp:369-376).
+    table = state.table
+    used = table.fid >= 0
+    table = table._replace(
+        depth=jnp.where(used, -1.0, table.depth),
+        solve_flag=jnp.where(used, 0, table.solve_flag),
+    )
+    table = ft.triangulate(
+        table, w.p, w.q, jnp.zeros(3, dtype), params.ex_q, params.init_depth
+    )
+
+    # Repropagate with the estimated gyro bias (:382-384).
+    w = repropagate_window(w, jnp.zeros(3, dtype), bg.astype(dtype),
+                           params.noise)
+
+    # Metric rescale + shift to the first keyframe's body origin (:386-390).
+    r_wb = rot.quat_to_rot(w.q)
+    body_off = jnp.einsum("wij,j->wi", r_wb, params.ex_t)
+    p_metric = scale * w.p - body_off
+    p_metric = p_metric - p_metric[0:1]
+    w = w._replace(p=p_metric.astype(dtype), v=v_world.astype(dtype))
+
+    # Scale landmark depths (:402-407).
+    from mobile_slam_tpu.models.state import eligible_mask as _elig
+    elig = _elig(table)
+    table = table._replace(
+        depth=jnp.where(elig, table.depth * scale, table.depth)
+    )
+
+    # Gravity-aligned, yaw-zeroed world frame (:409-421).
+    r0 = rot.g2r(gravity_l.astype(dtype))
+    yaw = rot.r2ypr(r0 @ rot.quat_to_rot(w.q[0]))[0]
+    r0 = rot.ypr2r(jnp.stack([-yaw, jnp.zeros_like(yaw),
+                              jnp.zeros_like(yaw)])) @ r0
+    g_world = r0 @ gravity_l.astype(dtype)
+    q_r0 = rot.rot_to_quat(r0)
+    w = w._replace(
+        p=w.p @ r0.T,
+        q=rot.quat_normalize(rot.quat_mul(q_r0[None, :], w.q)),
+        v=w.v @ r0.T,
+    )
+    return state._replace(window=w, table=table), g_world
+
+
+# ---------------------------------------------------------------------------
 # INITIAL-phase advance/slide (estimator.cpp:205-214)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,461 @@
+"""VIOEngine — headless push-style VIO API (TPU-native).
+
+Equivalent of the reference ``VIOEngine`` (src/vio_engine.cpp,
+include/vio_engine.h): push (grayscale frame + IMU batch + timestamp), get a
+4x4 camera pose plus status/map-point introspection. The engine composes the
+jitted device steps (frontend tracker + estimator) with the host-side state
+machine:
+
+* status codes NOT_CONFIGURED / INITIALIZING / TRACKING / LOST / COOLDOWN
+  (include/vio_engine.h:16-22);
+* IMU dt gating (1e-4..0.5s) and interpolation at the image timestamp
+  (vio_engine.cpp:111-163);
+* init timeout 15s -> estimator rebuild (vio_engine.cpp:188-207);
+* divergence guards (|P|>1e6 / NaN -> rebuild, 5 consecutive failures ->
+  30-frame cooldown, vio_engine.cpp:248-279) layered on the estimator-level
+  resets (post-opt NaN, |V|>10, |P|>100; estimator.cpp:218-251);
+* runtime tuning without recompiles (StaticParams are device arrays,
+  replacing setMobileParams/setFThreshold/setTrackingParams,
+  vio_engine.cpp:354-389).
+
+Initialization runs on host (mobile_slam_tpu/init/) and is injected back
+with one jitted call, after which every frame is a fixed-shape device
+program.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobile_slam_tpu.config import NUM_SLOTS, VIOConfig, validate_config
+from mobile_slam_tpu.engine import estimator as est
+from mobile_slam_tpu.frontend import tracker as trk
+from mobile_slam_tpu.init.alignment import HostFrame, NpPreintegration
+from mobile_slam_tpu.init.initializer import try_initialize
+from mobile_slam_tpu.models.cameras.base import make_camera
+from mobile_slam_tpu.models.state import eligible_mask
+from mobile_slam_tpu.utils import rotations as rot
+
+W = NUM_SLOTS
+
+
+class Status(enum.IntEnum):
+    """include/vio_engine.h:16-22."""
+
+    NOT_CONFIGURED = 0
+    INITIALIZING = 1
+    TRACKING = 2
+    LOST = 3
+    COOLDOWN = 4
+
+
+class FrameResult(NamedTuple):
+    ok: bool
+    pose: Optional[np.ndarray]     # 4x4 world-from-camera, row-major
+    status: Status
+    num_features: int
+    is_keyframe: bool
+
+
+INIT_TIMEOUT_S = 15.0          # vio_engine.h:111-117
+MAX_CONSECUTIVE_FAILURES = 5
+COOLDOWN_FRAMES = 30
+MAX_IMU_DT = 0.5
+MIN_IMU_DT = 1e-4
+
+
+def _map_points_device(table, window, ex_t, ex_q, init_depth):
+    """World landmark positions (getSlidingWindowMapPoints,
+    src/backend/estimator.cpp:357-390)."""
+    elig = eligible_mask(table)
+    good = (
+        elig & (table.solve_flag == 1) & (table.depth > 0)
+        & (jnp.abs(table.depth - init_depth) >= 0.01)
+    )
+    start = jnp.clip(table.start, 0, W - 1)
+    ray = jnp.take_along_axis(table.obs, start[:, None, None], axis=1)[:, 0]
+    pts_cam = ray * table.depth[:, None]
+    r_wb = rot.quat_to_rot(window.q)[start]
+    p_wb = window.p[start]
+    r_wc = r_wb @ rot.quat_to_rot(ex_q)
+    t_wc = p_wb + jnp.einsum("fij,j->fi", r_wb, ex_t)
+    pts_w = jnp.einsum("fij,fj->fi", r_wc, pts_cam) + t_wc
+    good = good & jnp.all(jnp.isfinite(pts_w), axis=-1)
+    return pts_w, good
+
+
+class VIOEngine:
+    """Push-mode VIO engine. One instance per camera stream."""
+
+    def __init__(self, cfg: VIOConfig, dtype=jnp.float32):
+        problems = validate_config(cfg)
+        if problems:
+            raise ValueError(f"invalid config: {problems}")
+        self.cfg = cfg
+        self.dtype = dtype
+        self.camera = make_camera(cfg.camera, dtype=dtype)
+        self.params = est.make_params(cfg, dtype)
+        self._gravity_np = np.asarray(cfg.estimator.gravity, np.float64)
+
+        tcfg = cfg.tracker
+        self._tracker_step = jax.jit(functools.partial(
+            trk.detect_and_track, camera=self.camera, cfg=tcfg,
+            focal=cfg.camera.focal_length,
+        ))
+        self._book = jax.jit(est.bookkeeping_step)
+        self._solve = jax.jit(functools.partial(
+            est.solve_and_slide,
+            num_iterations=cfg.estimator.num_iterations,
+        ))
+        self._init_slide = jax.jit(est.initial_advance_or_slide)
+        self._apply_init = jax.jit(est.apply_initialization)
+        self._map_points = jax.jit(functools.partial(
+            _map_points_device,
+            ex_t=self.params.ex_t, ex_q=self.params.ex_q,
+            init_depth=self.params.init_depth,
+        ))
+        self._key = jax.random.PRNGKey(0)
+
+        self.reset()
+
+    # ------------------------------------------------------------------
+    # Lifecycle (configure/reset, vio_engine.cpp:25-109, 391-407)
+    # ------------------------------------------------------------------
+
+    def reset(self) -> None:
+        self.state = est.init_state(self.cfg, self.params, self.dtype)
+        self.tracker_state = trk.init_tracker_state(
+            self.cfg.tracker, self.cfg.camera.height, self.cfg.camera.width,
+            self.dtype,
+        )
+        self.status = Status.INITIALIZING
+        self.frame_index = 0
+        self.host_frames: list[HostFrame] = []
+        self.window_ts = np.zeros(W)
+        self._t0: Optional[float] = None
+        self._first_frame_time: Optional[float] = None
+        self._last_frame_ts: Optional[float] = None
+        self._last_imu: Optional[np.ndarray] = None  # (7,) ts+acc+gyr
+        self._pending_imu: list[np.ndarray] = []
+        self._consecutive_failures = 0
+        self._cooldown_remaining = 0
+        self._last_pose: Optional[np.ndarray] = None
+        self._last_imu_tail = np.zeros(6)
+        self.params = self.params._replace(
+            gravity=jnp.asarray(self._gravity_np, self.dtype)
+        )
+
+    def _rebuild_estimator(self) -> None:
+        """Estimator rebuild on failure (vio_engine.cpp:188-207): tracker
+        state survives, estimator restarts initialization."""
+        self.state = est.init_state(self.cfg, self.params, self.dtype)
+        self.host_frames = []
+        self.window_ts = np.zeros(W)
+        self._first_frame_time = None
+        self.status = Status.INITIALIZING
+        self.params = self.params._replace(
+            gravity=jnp.asarray(self._gravity_np, self.dtype)
+        )
+
+    # ------------------------------------------------------------------
+    # IMU handling (vio_engine.cpp:111-163)
+    # ------------------------------------------------------------------
+
+    def push_imu(self, ts: float, acc, gyr) -> None:
+        """Buffer one IMU reading (timestamps in seconds, any epoch)."""
+        self._pending_imu.append(
+            np.concatenate([[ts], np.asarray(acc, float),
+                            np.asarray(gyr, float)])
+        )
+
+    def _drain_imu(self, frame_ts: float):
+        """Samples in (last_frame_ts, frame_ts], dt-gated, with linear
+        interpolation at the frame timestamp."""
+        take, keep = [], []
+        for s in self._pending_imu:
+            (take if s[0] <= frame_ts else keep).append(s)
+        nxt = keep[0] if keep else None
+        self._pending_imu = keep
+
+        dts, accs, gyrs = [], [], []
+        prev_ts = self._last_frame_ts
+        for s in take:
+            if self._last_imu is not None and prev_ts is not None:
+                dt = s[0] - prev_ts
+            elif prev_ts is not None:
+                dt = s[0] - prev_ts
+            else:
+                dt = 0.005
+            if dt < MIN_IMU_DT or dt > MAX_IMU_DT:
+                prev_ts = s[0]
+                self._last_imu = s
+                continue
+            dts.append(dt)
+            accs.append(s[1:4])
+            gyrs.append(s[4:7])
+            prev_ts = s[0]
+            self._last_imu = s
+
+        # Interpolate a reading at exactly frame_ts (vio_engine.cpp:143-160).
+        if (self._last_imu is not None and nxt is not None
+                and prev_ts is not None and prev_ts < frame_ts):
+            t0, t1 = self._last_imu[0], nxt[0]
+            if t1 > t0:
+                a = (frame_ts - t0) / (t1 - t0)
+                interp = (1 - a) * self._last_imu[1:] + a * nxt[1:]
+                dt = frame_ts - prev_ts
+                if MIN_IMU_DT <= dt <= MAX_IMU_DT:
+                    dts.append(dt)
+                    accs.append(interp[0:3])
+                    gyrs.append(interp[3:6])
+                    self._last_imu = np.concatenate([[frame_ts], interp])
+        return (np.asarray(dts), np.asarray(accs).reshape(-1, 3),
+                np.asarray(gyrs).reshape(-1, 3))
+
+    # ------------------------------------------------------------------
+    # Frame processing (vio_engine.cpp:165-307)
+    # ------------------------------------------------------------------
+
+    def process_frame(self, image: np.ndarray, frame_ts: float) -> FrameResult:
+        """Full image path: track features on device, then run the filter."""
+        img = jnp.asarray(image, self.dtype)
+        self._key, sub = jax.random.split(self._key)
+        if self._t0 is None:
+            self._t0 = frame_ts
+        self.tracker_state, tout = self._tracker_step(
+            self.tracker_state, img,
+            jnp.asarray(frame_ts - self._t0, self.dtype), key=sub,
+        )
+        return self._process_tracked(
+            frame_ts,
+            ids=tout.ids, obs=tout.obs, uv=tout.uv, vel=tout.vel,
+            valid=tout.valid,
+        )
+
+    def process_features(self, frame_ts: float, ids, rays, uv=None, vel=None,
+                         valid=None) -> FrameResult:
+        """Feature-level entry point (the contract the estimator consumes;
+        lets dataset harnesses and the parity tests bypass the image
+        pipeline, like the reference's MeasurementProcessor path)."""
+        k_pad = self.cfg.tracker.max_points
+        n = len(ids)
+        if n > k_pad:
+            raise ValueError(f"too many features: {n} > {k_pad}")
+
+        def pad(a, shape):
+            out = np.zeros((k_pad,) + shape)
+            if n:
+                out[:n] = a
+            return out
+
+        ids_p = np.full(k_pad, -1, np.int32)
+        ids_p[:n] = np.asarray(ids, np.int32)
+        valid_np = np.zeros(k_pad, bool)
+        valid_np[:n] = True if valid is None else np.asarray(valid, bool)
+        return self._process_tracked(
+            frame_ts,
+            ids=jnp.asarray(ids_p),
+            obs=jnp.asarray(pad(np.asarray(rays), (3,)), self.dtype),
+            uv=jnp.asarray(pad(uv if uv is not None else np.zeros((n, 2)),
+                               (2,)), self.dtype),
+            vel=jnp.asarray(pad(vel if vel is not None else np.zeros((n, 2)),
+                                (2,)), self.dtype),
+            valid=jnp.asarray(valid_np),
+        )
+
+    def _process_tracked(self, frame_ts, ids, obs, uv, vel, valid) -> FrameResult:
+        if self._t0 is None:
+            self._t0 = frame_ts
+        if self._first_frame_time is None:
+            self._first_frame_time = frame_ts
+
+        # Cooldown (vio_engine.cpp:266-279).
+        if self._cooldown_remaining > 0:
+            self._cooldown_remaining -= 1
+            self._last_frame_ts = frame_ts
+            if self._cooldown_remaining == 0:
+                self._rebuild_estimator()
+                self._first_frame_time = frame_ts
+            return FrameResult(False, None, Status.COOLDOWN, 0, False)
+
+        dts, accs, gyrs = self._drain_imu(frame_ts)
+        m_pad = self.cfg.estimator.max_imu_per_interval
+        m = min(len(dts), m_pad)
+
+        def pad(a, shape):
+            out = np.zeros((m_pad,) + shape)
+            out[:m] = a[:m]
+            return out
+
+        inp = est.FrameInput(
+            ts=jnp.asarray(frame_ts - self._t0, self.dtype),
+            ids=ids, obs=obs, uv=uv, vel=vel, valid=valid,
+            imu_dt=jnp.asarray(pad(dts, ()), self.dtype),
+            imu_acc=jnp.asarray(pad(accs, (3,)), self.dtype),
+            imu_gyr=jnp.asarray(pad(gyrs, (3,)), self.dtype),
+            imu_cnt=jnp.asarray(m, jnp.int32),
+        )
+
+        self.state, is_kf = self._book(self.state, inp, self.params)
+        fc = int(self.state.frame_count)
+        self.window_ts[min(fc, W - 1)] = frame_ts
+
+        if self.status == Status.INITIALIZING:
+            result = self._process_initializing(inp, is_kf, frame_ts,
+                                                ids, obs, dts, accs, gyrs)
+        else:
+            result = self._process_tracking(is_kf)
+
+        self._last_frame_ts = frame_ts
+        self.frame_index += 1
+        return result
+
+    # ------------------------------------------------------------------
+
+    def _record_host_frame(self, frame_ts, ids, obs, dts, accs, gyrs):
+        ids_np = np.asarray(ids)
+        obs_np = np.asarray(obs, np.float64)
+        valid = ids_np >= 0
+        points = {int(i): obs_np[k] for k, i in enumerate(ids_np) if valid[k]}
+        if self.host_frames:
+            last = self._last_imu_tail
+            pre = NpPreintegration(last[0:3], last[3:6], dts, accs, gyrs)
+        else:
+            pre = None
+        if len(accs):
+            self._last_imu_tail = np.concatenate([accs[-1], gyrs[-1]])
+        self.host_frames.append(HostFrame(frame_ts, points, pre))
+
+    def _process_initializing(self, inp, is_kf, frame_ts, ids, obs,
+                              dts, accs, gyrs) -> FrameResult:
+        self._record_host_frame(frame_ts, ids, obs, dts, accs, gyrs)
+
+        # Init timeout -> rebuild (vio_engine.cpp:188-207).
+        if (self._first_frame_time is not None
+                and frame_ts - self._first_frame_time > INIT_TIMEOUT_S):
+            self._rebuild_estimator()
+            self._first_frame_time = frame_ts
+            return FrameResult(False, None, Status.INITIALIZING, 0, False)
+
+        fc = int(self.state.frame_count)
+        if fc == W - 1:
+            # Attempt initialization (rate limiting is handled by the frame
+            # cadence; the reference limits to >=0.1s between attempts).
+            table_np = {
+                "fid": np.asarray(self.state.table.fid),
+                "start": np.asarray(self.state.table.start),
+                "obs": np.asarray(self.state.table.obs, np.float64),
+                "mask": np.asarray(self.state.table.mask),
+            }
+            res = try_initialize(
+                self.host_frames, self.window_ts, table_np,
+                self.cfg.camera.focal_length,
+                self.cfg.camera.r_ic_mat, self.cfg.camera.t_ic_vec,
+                self.cfg.estimator.g_norm,
+            )
+            if res.ok:
+                self.state, g_world = self._apply_init(
+                    self.state,
+                    jnp.asarray(res.p_cam, self.dtype),
+                    jnp.asarray(res.q_body, self.dtype),
+                    jnp.asarray(res.v_world, self.dtype),
+                    jnp.asarray(res.bg, self.dtype),
+                    jnp.asarray(res.gravity, self.dtype),
+                    jnp.asarray(res.scale, self.dtype),
+                    self.params,
+                )
+                self.params = self.params._replace(gravity=g_world)
+                self.status = Status.TRACKING
+                self.host_frames = []
+                return self._process_tracking(is_kf)
+
+        # Failed / not ready: advance or slide (estimator.cpp:205-214).
+        old_ts0 = self.window_ts[0]
+        self.state = self._init_slide(self.state, is_kf, self.params)
+        if fc == W - 1:
+            if bool(is_kf):
+                self.window_ts[:-1] = self.window_ts[1:]
+                # cleanupOldImageFrames (estimator.cpp:265-282).
+                self.host_frames = [
+                    f for f in self.host_frames if f.ts > old_ts0
+                ]
+            else:
+                self.window_ts[W - 2] = self.window_ts[W - 1]
+                # The merged general frame's host record is dropped too, but
+                # the reference keeps it in all_image_frame; we keep it.
+        n_feat = int(np.sum(np.asarray(inp.valid)))
+        return FrameResult(False, None, Status.INITIALIZING, n_feat, bool(is_kf))
+
+    def _process_tracking(self, is_kf) -> FrameResult:
+        self.state, p_out, q_out, diag = self._solve(
+            self.state, is_kf, self.params
+        )
+        if bool(diag.is_keyframe):
+            self.window_ts[:-1] = self.window_ts[1:]
+        else:
+            self.window_ts[W - 2] = self.window_ts[W - 1]
+
+        p_np = np.asarray(p_out, np.float64)
+        q_np = np.asarray(q_out, np.float64)
+
+        # Estimator-level divergence resets (estimator.cpp:218-251).
+        vel = float(diag.vel_norm)
+        pos = float(diag.pos_norm)
+        finite = bool(diag.state_finite)
+        if not finite or vel > 10.0 or pos > 100.0:
+            self._consecutive_failures += 1
+            if self._consecutive_failures >= MAX_CONSECUTIVE_FAILURES:
+                self._cooldown_remaining = COOLDOWN_FRAMES
+                self.status = Status.COOLDOWN
+            else:
+                self._rebuild_estimator()
+                self.status = Status.LOST
+            return FrameResult(False, None, self.status, 0, False)
+        # Engine-level catastrophic divergence (vio_engine.cpp:248-264).
+        if pos > 1e6:
+            self._rebuild_estimator()
+            return FrameResult(False, None, Status.LOST, 0, False)
+
+        self._consecutive_failures = 0
+        self.status = Status.TRACKING
+
+        # Camera pose output (vio_engine.cpp:293-305).
+        r_wb = np.asarray(rot.quat_to_rot(jnp.asarray(q_np)))
+        r_ic = self.cfg.camera.r_ic_mat
+        t_ic = self.cfg.camera.t_ic_vec
+        pose = np.eye(4)
+        pose[:3, :3] = r_wb @ r_ic
+        pose[:3, 3] = p_np + r_wb @ t_ic
+        self._last_pose = pose
+        n_feat = int(diag.last_track_num)
+        return FrameResult(True, pose, Status.TRACKING, n_feat,
+                           bool(diag.is_keyframe))
+
+    # ------------------------------------------------------------------
+    # Introspection (vio_engine.cpp:313-352)
+    # ------------------------------------------------------------------
+
+    def is_initialized(self) -> bool:
+        return self.status == Status.TRACKING
+
+    def get_status(self) -> Status:
+        return self.status
+
+    def get_map_points(self) -> np.ndarray:
+        """(N, 3) world landmarks (getMapPoints, vio_engine.cpp:330-340)."""
+        if self.status != Status.TRACKING:
+            return np.zeros((0, 3))
+        pts, good = self._map_points(self.state.table, self.state.window)
+        return np.asarray(pts)[np.asarray(good)]
+
+    def get_body_state(self):
+        """Latest window-tip body state (for evaluation/logging)."""
+        w = self.state.window
+        return (np.asarray(w.p[W - 1]), np.asarray(w.q[W - 1]),
+                np.asarray(w.v[W - 1]))

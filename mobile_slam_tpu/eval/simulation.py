@@ -56,8 +56,14 @@ class Trajectory:
 
 
 def make_trajectory(duration: float, rate: float, g_norm: float = 9.81007,
-                    scale: float = 1.5, seed: int = 0) -> Trajectory:
-    """Smooth room-scale figure trajectory with full 3-axis rotation."""
+                    scale: float = 1.5, seed: int = 0,
+                    excitation_warmup: float = 2.0) -> Trajectory:
+    """Smooth room-scale figure trajectory with full 3-axis rotation.
+
+    The first ``excitation_warmup`` seconds add a high-frequency wiggle —
+    the deliberate calibration motion TUM-VI/EuRoC sequences start with,
+    which visual-inertial initialization relies on for scale/bias
+    observability."""
     n = int(duration * rate) + 1
     ts = np.arange(n) / rate
     w1 = 2 * np.pi / 9.0
@@ -71,6 +77,21 @@ def make_trajectory(duration: float, rate: float, g_norm: float = 9.81007,
     yaw = 0.55 * np.sin(w1 * ts + 0.4)
     pitch = 0.22 * np.sin(w2 * ts + 1.1)
     roll = 0.18 * np.sin(1.7 * w1 * ts + 2.0)
+
+    if excitation_warmup > 0:
+        # Smoothly-windowed wiggle: strong acceleration + rotation variation
+        # with small net displacement.
+        env = np.clip(1.0 - ts / excitation_warmup, 0.0, 1.0)
+        env = env * env * (3 - 2 * env)  # smoothstep taper
+        ww = 2 * np.pi * 1.6
+        p = p + env[:, None] * np.stack([
+            0.12 * np.sin(ww * ts),
+            0.10 * np.sin(1.3 * ww * ts + 0.9),
+            0.08 * np.sin(1.7 * ww * ts + 0.4),
+        ], axis=-1)
+        yaw = yaw + env * 0.25 * np.sin(ww * ts + 0.2)
+        pitch = pitch + env * 0.18 * np.sin(1.2 * ww * ts + 1.3)
+        roll = roll + env * 0.15 * np.sin(1.5 * ww * ts + 2.1)
     cy, sy = np.cos(yaw / 2), np.sin(yaw / 2)
     cp, sp = np.cos(pitch / 2), np.sin(pitch / 2)
     cr, sr = np.cos(roll / 2), np.sin(roll / 2)

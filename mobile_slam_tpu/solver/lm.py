@@ -63,14 +63,25 @@ def _retract(x: XState, dx: jax.Array, dlam: jax.Array,
 
 def _solve_damped(eqs: assembly.NormalEqs, mu: jax.Array,
                   lam_mask: jax.Array, dtype):
-    """One damped Schur-complement solve: returns (dx (165,), dlam (F,))."""
+    """One damped Schur-complement solve: returns (dx (165,), dlam (F,)).
+
+    Damping policy: near-Gauss-Newton. The bias random-walk chains put
+    ~1e12-1e15 on the speed/bias diagonal while the collective-bias valley
+    mode has stiffness ~1e6; Marquardt damping mu*diag at any mu >= 1e-8
+    freezes the biases entirely (the failure Ceres' DOGLEG avoids by using
+    the undamped GN step). So mu starts tiny and the PSD/gauge floor is an
+    absolute term scaled by the MEDIAN diagonal (robust to the stiff
+    outliers), which regularizes gauge null-spaces without touching the
+    valley."""
     H = eqs.H_ss[:NSOLVE, :NSOLVE]
     g = eqs.g_s[:NSOLVE]
     H_sl = eqs.H_sl[:NSOLVE]
 
     diag = jnp.diagonal(H)
-    H_d = H + jnp.diag(mu * diag + 1e-10)
-    hll = eqs.H_ll + mu * eqs.H_ll + 1e-12
+    med = jnp.median(diag)
+    floor = 1e-7 * med + 1e-10
+    H_d = H + jnp.diag(mu * diag + floor)
+    hll = eqs.H_ll * (1.0 + mu) + 1e-6 * jnp.median(eqs.H_ll) + 1e-12
     hll = jnp.where(lam_mask, hll, 1.0)  # inert rows for inactive landmarks
     inv_hll = 1.0 / hll
 
@@ -99,7 +110,7 @@ def solve(
     ex_q: jax.Array,
     params: SolverParams,
     num_iterations: int,
-    mu_init: float = 1e-4,
+    mu_init: float = 1e-8,
 ) -> SolveResult:
     """Run the LM loop. Fixed iteration count (jit-static)."""
     dtype = x0.p.dtype
@@ -124,13 +135,26 @@ def solve(
             x, table, window.pre, imu_sqrt_info, imu_valid, prior, prior_H0,
             ex_t, ex_q, params, proj_valid,
         )
-        dx, dlam = _solve_damped(eqs, mu, lam_mask, dtype)
-        x_new = _retract(x, dx, dlam, lam_mask)
-        cost_new = cost_fn(x_new)
+        # Dogleg-style dual candidate: a near-Gauss-Newton step (traverses
+        # the stiff bias-chain valley like Ceres' DOGLEG GN step does) and a
+        # conservative Marquardt step (safe far from the optimum). Take
+        # whichever lowers the robust cost more.
+        dx_a, dlam_a = _solve_damped(eqs, mu, lam_mask, dtype)
+        dx_b, dlam_b = _solve_damped(eqs, jnp.asarray(1e-4, dtype),
+                                     lam_mask, dtype)
+        x_a = _retract(x, dx_a, dlam_a, lam_mask)
+        x_b = _retract(x, dx_b, dlam_b, lam_mask)
+        cost_a = cost_fn(x_a)
+        cost_b = cost_fn(x_b)
+        use_a = jnp.isfinite(cost_a) & (cost_a <= jnp.where(
+            jnp.isfinite(cost_b), cost_b, jnp.inf))
+        x_new = jax.tree.map(lambda a, b: jnp.where(use_a, a, b), x_a, x_b)
+        cost_new = jnp.where(use_a, cost_a, cost_b)
         ok = jnp.isfinite(cost_new) & (cost_new < cost)
         x = jax.tree.map(lambda a, b: jnp.where(ok, a, b), x_new, x)
         cost = jnp.where(ok, cost_new, cost)
-        mu = jnp.where(ok, jnp.maximum(mu * 0.3, 1e-8), jnp.minimum(mu * 4.0, 1e4))
+        mu = jnp.where(ok & use_a, jnp.maximum(mu * 0.25, 1e-12),
+                       jnp.where(ok, mu, jnp.minimum(mu * 10.0, 1e4)))
         return x, cost, mu, n_acc + ok.astype(jnp.int32)
 
     x, cost, _, n_acc = jax.lax.fori_loop(

@@ -1,0 +1,216 @@
+"""Benchmark: VIO throughput + accuracy on a TUM-VI-room1-like synthetic
+sequence, run on the real TPU chip.
+
+No dataset files ship with this machine (data/EuRoC and data/KITTI360 are
+empty placeholders in the reference too), so the benchmark generates a
+physically-consistent synthetic sequence with the TUM-VI room1 camera
+(Kannala-Brandt 512x512, config/tum_vi_room1.yaml), 20fps camera / 200Hz
+IMU, realistic sensor noise and biases, and exact ground truth.
+
+Measures:
+  * streaming fps  — the per-frame push API (VIOEngine.process_features),
+  * chunked fps    — the lax.scan serving mode (engine/chunked.py), which is
+    the headline number (north star: >=200 fps/chip, BASELINE.json),
+  * ATE RMSE (Sim3 + SE3) against ground truth.
+
+Prints ONE JSON line with the driver contract keys.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+# Full f32 precision on the MXU: the bias-chain weights span ~1e15, which
+# bf16-pass matmuls cannot represent.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from mobile_slam_tpu.config import (CameraConfig, EstimatorConfig,
+                                    TrackerConfig, VIOConfig)
+from mobile_slam_tpu.engine import chunked, estimator as est
+from mobile_slam_tpu.engine.vio_engine import Status, VIOEngine
+from mobile_slam_tpu.eval import simulation as sim
+from mobile_slam_tpu.eval.evaluator import compute_ate
+from mobile_slam_tpu.models.cameras.base import make_camera
+
+R_IC = np.array([[0.0, 0.0, 1.0],
+                 [-1.0, 0.0, 0.0],
+                 [0.0, -1.0, 0.0]])
+
+DURATION = float(next((a.split("=")[1] for a in sys.argv
+                       if a.startswith("--duration=")), 30.0))
+CHUNK = 25
+BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
+
+
+def make_cfg():
+    cam = CameraConfig(
+        model_type="KANNALA_BRANDT", width=512, height=512,
+        focal_length=190.97847715128717,
+        fx=190.97847715128717, fy=190.9733070521226,
+        cx=254.93170605935475, cy=256.8974428996504,
+        dist=(0.0034823894022493434, 0.0007150348452162257,
+              -0.0020532361418706202, 0.00020293673591811182),
+        r_ic=tuple(R_IC.reshape(-1)), t_ic=(0.045, 0.073, -0.044),
+    )
+    return VIOConfig(
+        camera=cam,
+        tracker=TrackerConfig(max_cnt=150, min_dist=20, max_points=192,
+                              fisheye=True),
+        estimator=EstimatorConfig(
+            max_features=384, max_imu_per_interval=16, num_iterations=8,
+            acc_n=0.04, gyr_n=0.004, acc_w=4e-4, gyr_w=2e-5,
+        ),
+    )
+
+
+def frame_input(cfg, data, fi, t0, dtype=jnp.float32):
+    f = data.frames[fi]
+    t1 = data.cam_ts[fi]
+    tp = data.cam_ts[fi - 1] if fi > 0 else t1 - 0.05
+    dt, acc, gyr = sim.imu_between(data, tp, t1)
+    k_pad = cfg.tracker.max_points
+    m_pad = cfg.estimator.max_imu_per_interval
+    n, m = len(f["ids"]), min(len(dt), m_pad)
+
+    def pad(a, n_p, sh):
+        out = np.zeros((n_p,) + sh)
+        out[:len(a)] = a[:n_p]
+        return out
+
+    ids = np.full(k_pad, -1, np.int32)
+    ids[:n] = f["ids"][:k_pad]
+    return est.FrameInput(
+        ts=jnp.asarray(t1 - t0, dtype),
+        ids=jnp.asarray(ids),
+        obs=jnp.asarray(pad(f["rays"], k_pad, (3,)), dtype),
+        uv=jnp.asarray(pad(f["uv"], k_pad, (2,)), dtype),
+        vel=jnp.asarray(pad(f["vel"], k_pad, (2,)), dtype),
+        valid=jnp.asarray(np.arange(k_pad) < n),
+        imu_dt=jnp.asarray(pad(dt, m_pad, ()), dtype),
+        imu_acc=jnp.asarray(pad(acc, m_pad, (3,)), dtype),
+        imu_gyr=jnp.asarray(pad(gyr, m_pad, (3,)), dtype),
+        imu_cnt=jnp.asarray(m, jnp.int32),
+    )
+
+
+def main():
+    cfg = make_cfg()
+    cam = make_camera(cfg.camera, dtype=jnp.float64)
+    scfg = sim.SimConfig(
+        duration=DURATION, cam_rate=20.0, imu_rate=200.0,
+        num_landmarks=900, max_features=150,
+        acc_noise=0.02, gyr_noise=0.002, pixel_noise=0.25,
+        acc_bias=(0.01, -0.005, 0.015), gyr_bias=(0.001, -0.0005, 0.0008),
+        seed=7,
+    )
+    data = sim.simulate(scfg, cam, cfg.camera.r_ic_mat, cfg.camera.t_ic_vec)
+    n_frames = len(data.frames)
+    print(f"[bench] {n_frames} frames, {DURATION}s, "
+          f"device={jax.devices()[0]}", file=sys.stderr)
+
+    engine = VIOEngine(cfg, jnp.float32)
+
+    # --- Phase 1: streaming until initialized + a measurement stretch. ---
+    est_ts, est_p, est_q = [], [], []
+    imu_i = 0
+    init_frame = None
+    stream_times = []
+    fi = 0
+    while fi < n_frames:
+        ts = data.cam_ts[fi]
+        while imu_i < len(data.imu_ts) and data.imu_ts[imu_i] <= ts + 1e-9:
+            engine.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                            data.imu_gyr[imu_i])
+            imu_i += 1
+        f = data.frames[fi]
+        t_s = time.perf_counter()
+        res = engine.process_features(ts, f["ids"], f["rays"],
+                                      uv=f["uv"], vel=f["vel"])
+        dt_call = time.perf_counter() - t_s
+        if res.ok:
+            p, q, _ = engine.get_body_state()
+            est_ts.append(ts)
+            est_p.append(p)
+            est_q.append(q)
+        if init_frame is None and res.status == Status.TRACKING:
+            init_frame = fi
+            print(f"[bench] initialized at frame {fi}", file=sys.stderr)
+        if init_frame is not None and fi > init_frame + 2:
+            stream_times.append(dt_call)
+        fi += 1
+        if init_frame is not None and fi >= init_frame + 43:
+            break
+    if init_frame is None:
+        print(json.dumps({
+            "metric": "VIO frames/sec/chip (TUM-VI-like synthetic)",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "error": "initialization failed",
+        }))
+        return
+    fps_stream = 1.0 / float(np.median(stream_times))
+
+    # --- Phase 2: chunked serving mode for the rest of the sequence. -----
+    step_chunk = chunked.make_chunked_step(
+        engine.params, cfg.estimator.num_iterations
+    )
+    state = engine.state
+    t0_seq = engine._t0
+    chunk_wall = []
+    n_chunked = 0
+    first = True
+    while fi + CHUNK <= n_frames:
+        inputs = [frame_input(cfg, data, fi + k, t0_seq)
+                  for k in range(CHUNK)]
+        batch = chunked.stack_frame_inputs(inputs)
+        batch = jax.device_put(batch)
+        t_s = time.perf_counter()
+        state, (p_out, q_out, ok, kf) = step_chunk(state, batch)
+        jax.block_until_ready(p_out)
+        wall = time.perf_counter() - t_s
+        if not first:
+            chunk_wall.append(wall)
+            n_chunked += CHUNK
+        first = False
+        p_np = np.asarray(p_out, np.float64)
+        q_np = np.asarray(q_out, np.float64)
+        ok_np = np.asarray(ok)
+        for k in range(CHUNK):
+            if ok_np[k]:
+                est_ts.append(data.cam_ts[fi + k])
+                est_p.append(p_np[k])
+                est_q.append(q_np[k])
+        fi += CHUNK
+    fps_chunked = (n_chunked / sum(chunk_wall)) if chunk_wall else fps_stream
+
+    # --- Accuracy -------------------------------------------------------
+    est_ts = np.asarray(est_ts)
+    est_p = np.asarray(est_p, np.float64)
+    ate_sim3 = compute_ate(est_ts, est_p, data.cam_ts, data.gt_p,
+                           with_scale=True)
+    ate_se3 = compute_ate(est_ts, est_p, data.cam_ts, data.gt_p,
+                          with_scale=False)
+    print(f"[bench] fps_stream={fps_stream:.1f} fps_chunked={fps_chunked:.1f} "
+          f"ATE sim3={ate_sim3.rmse:.3f}m se3={ate_se3.rmse:.3f}m "
+          f"poses={len(est_p)}/{n_frames}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "VIO frames/sec/chip (TUM-VI-like synthetic, chunked)",
+        "value": round(fps_chunked, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps_chunked / BASELINE_FPS, 3),
+        "fps_streaming": round(fps_stream, 2),
+        "ate_sim3_rmse_m": round(ate_sim3.rmse, 4),
+        "ate_se3_rmse_m": round(ate_se3.rmse, 4),
+        "poses": len(est_p),
+        "frames": n_frames,
+    }))
+
+
+if __name__ == "__main__":
+    main()

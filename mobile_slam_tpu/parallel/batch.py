@@ -1,0 +1,71 @@
+"""Multi-sequence data parallelism over a TPU mesh.
+
+The reference is a single-process, single-sequence estimator (SURVEY §2.8);
+the TPU-native scaling axis is running many independent VIO sequences as one
+SPMD program: the estimator state is a pytree of fixed-shape arrays, so a
+fleet of sequences is a leading batch dimension, sharded across devices with
+`jax.sharding` — per-sequence state is independent, so the hot path has no
+collectives; fleet-wide metrics reduce with `psum`-style reductions at the
+end (BASELINE.json configs[4], "batched multi-sequence vmapped VIO").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mobile_slam_tpu.engine import estimator as est
+
+
+def make_mesh(devices=None, axis: str = "seq") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices).reshape(-1), (axis,))
+
+
+def batch_states(states: list[est.EstimatorState]) -> est.EstimatorState:
+    """Stack per-sequence estimator states along a leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def shard_batched(tree, mesh: Mesh, axis: str = "seq"):
+    """Place a batched pytree with its leading axis sharded over the mesh."""
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+    return jax.tree.map(put, tree)
+
+
+def make_batched_step(params: est.StaticParams, num_iterations: int,
+                      mesh: Mesh | None = None, axis: str = "seq"):
+    """Jitted fleet step: vmapped (bookkeeping + solve + slide) over the
+    sequence axis, compiled with batch-sharded in/out so XLA partitions the
+    fleet across devices (pure DP over ICI — no hot-path collectives).
+
+    Returns fn(batched_state, batched_FrameInput) ->
+    (batched_state, (p (B,3), q (B,4), ok (B,)))."""
+
+    def one(state, inp):
+        state, is_kf = est.bookkeeping_step(state, inp, params)
+        state, p, q, diag = est.solve_and_slide(
+            state, is_kf, params, num_iterations
+        )
+        ok = (diag.state_finite & (diag.vel_norm <= 10.0)
+              & (diag.pos_norm <= 100.0))
+        return state, (p, q, ok)
+
+    stepped = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(stepped)
+    shard = NamedSharding(mesh, P(axis))
+    return jax.jit(stepped,
+                   in_shardings=(shard, shard),
+                   out_shardings=(shard, shard))
+
+
+def fleet_metrics(batched_p: jax.Array, gt_p: jax.Array) -> jax.Array:
+    """Example fleet-wide reduction (mean position error across the sharded
+    batch) — the cross-sequence psum/mean the SURVEY calls out as the only
+    hot-path-adjacent collective."""
+    err = jnp.linalg.norm(batched_p - gt_p, axis=-1)
+    return jnp.mean(err)

@@ -1,0 +1,126 @@
+"""VIOSystem — dataset-driven pull-mode pipeline.
+
+Mirror of src/vio_system.cpp: reads an EuRoC-layout sequence, drives the
+engine frame by frame with frame_skip/start/end windowing (:131-176), logs
+the camera trajectory in TUM format, and auto-evaluates ATE/RPE against the
+mocap ground truth at sequence end (onSequenceComplete, :111-129).
+
+The reference splits VIO and visualization across two threads; here JAX's
+async dispatch overlaps device compute with host-side dataset decoding, and
+the optional chunked mode batches frames into single device programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+from mobile_slam_tpu.config import VIOConfig
+from mobile_slam_tpu.engine.vio_engine import Status, VIOEngine
+from mobile_slam_tpu.eval.evaluator import compute_ate, compute_rpe
+from mobile_slam_tpu.io.dataset import EurocDataset
+from mobile_slam_tpu.io.trajectory import ResultLogger
+from mobile_slam_tpu.utils import rotations as rot
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class RunSummary:
+    frames_processed: int
+    poses_recovered: int
+    wall_seconds: float
+    fps: float
+    ate_rmse: float | None = None
+    ate_median: float | None = None
+    rpe_trans_rmse: float | None = None
+    log_dir: str | None = None
+
+
+class VIOSystem:
+    def __init__(self, cfg: VIOConfig, dataset_root: str | None = None,
+                 log_root: str = "logs", config_blob: str | None = None):
+        self.cfg = cfg
+        self.dataset = EurocDataset(dataset_root or cfg.dataset_path)
+        self.engine = VIOEngine(cfg)
+        self.logger = ResultLogger(log_root, config_blob)
+
+    def process_sequence(self, progress_every: int = 100) -> RunSummary:
+        cfg = self.cfg
+        ds = self.dataset
+        n = len(ds)
+        start = max(cfg.start_frame, 0)
+        end = n if cfg.end_frame < 0 else min(cfg.end_frame, n)
+        stride = cfg.frame_skip + 1
+
+        imu_i = 0
+        t_wall = time.time()
+        frames = poses = 0
+        est_ts, est_p, est_q = [], [], []
+
+        for idx in range(start, end, stride):
+            ts = ds.images.ts[idx]
+            # Push IMU up to the frame time.
+            while imu_i < len(ds.imu.ts) and ds.imu.ts[imu_i] <= ts + 1e-12:
+                self.engine.push_imu(ds.imu.ts[imu_i], ds.imu.acc[imu_i],
+                                     ds.imu.gyr[imu_i])
+                imu_i += 1
+            img = ds.read_image(idx)
+            res = self.engine.process_frame(img, ts)
+            frames += 1
+            if res.ok and res.pose is not None:
+                poses += 1
+                # Log the CAMERA pose in TUM format, like the reference
+                # (TestResultLogger; the evaluator transforms back to body).
+                p_cam = res.pose[:3, 3]
+                q_cam = np.asarray(
+                    rot.rot_to_quat(jnp.asarray(res.pose[:3, :3]))
+                )
+                self.logger.add_pose(ts, p_cam, q_cam)
+                est_ts.append(ts)
+                est_p.append(p_cam)
+                est_q.append(res.pose[:3, :3].copy())
+            if progress_every and frames % progress_every == 0:
+                print(f"[vio] frame {idx}/{end} status={res.status.name} "
+                      f"poses={poses}", file=sys.stderr)
+
+        wall = time.time() - t_wall
+        summary = RunSummary(
+            frames_processed=frames, poses_recovered=poses,
+            wall_seconds=wall, fps=frames / max(wall, 1e-9),
+            log_dir=self.logger.dir,
+        )
+        self.logger.flush()
+
+        # Auto-evaluation against mocap (onSequenceComplete, :111-129).
+        if ds.ground_truth is not None and poses > 10:
+            gt = ds.ground_truth
+            est_ts_np = np.asarray(est_ts)
+            # Camera -> body transform (transformVioToBodyFrame,
+            # trajectory_evaluator.cpp:88-102).
+            r_ic = cfg.camera.r_ic_mat
+            t_ic = cfg.camera.t_ic_vec
+            body_p = np.asarray([
+                p - (R @ r_ic.T) @ (r_ic.T @ t_ic)
+                for p, R in zip(est_p, est_q)
+            ])
+            ate = compute_ate(est_ts_np, body_p, gt.ts, gt.p, with_scale=True)
+            gt_R = np.asarray(rot.quat_to_rot(jnp.asarray(gt.q)))
+            est_R = np.asarray([R @ r_ic.T for R in est_q])
+            rpe = compute_rpe(est_ts_np, body_p, est_R, gt.ts, gt.p, gt_R,
+                              delta=1.0)
+            summary.ate_rmse = ate.rmse
+            summary.ate_median = ate.median
+            summary.rpe_trans_rmse = rpe.trans_rmse
+            self.logger.save_evaluation({
+                "ate_rmse_m": ate.rmse, "ate_mean_m": ate.mean,
+                "ate_median_m": ate.median, "ate_std_m": ate.std,
+                "ate_min_m": ate.min, "ate_max_m": ate.max,
+                "rpe_trans_rmse_m": rpe.trans_rmse,
+                "rpe_rot_rmse_deg": rpe.rot_rmse_deg,
+                "poses": poses, "frames": frames, "fps": summary.fps,
+            })
+        return summary

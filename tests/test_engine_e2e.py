@@ -1,0 +1,101 @@
+"""End-to-end engine test: cold start -> host initialization -> tracking on
+the synthetic TUM-VI-like fisheye world, through the public VIOEngine push
+API (the reference's tests/test_vio_engine_parity.cpp workload, with exact
+ground truth instead of a second pipeline)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mobile_slam_tpu.config import (CameraConfig, EstimatorConfig,
+                                    TrackerConfig, VIOConfig)
+from mobile_slam_tpu.engine.vio_engine import Status, VIOEngine
+from mobile_slam_tpu.eval import simulation as sim
+from mobile_slam_tpu.eval.evaluator import compute_ate
+from mobile_slam_tpu.models.cameras.base import make_camera
+
+R_IC = np.array([[0.0, 0.0, 1.0],
+                 [-1.0, 0.0, 0.0],
+                 [0.0, -1.0, 0.0]])
+
+
+def tumvi_cfg():
+    cam = CameraConfig(
+        model_type="KANNALA_BRANDT", width=512, height=512,
+        focal_length=190.97847715128717,
+        fx=190.97847715128717, fy=190.9733070521226,
+        cx=254.93170605935475, cy=256.8974428996504,
+        dist=(0.0034823894022493434, 0.0007150348452162257,
+              -0.0020532361418706202, 0.00020293673591811182),
+        r_ic=tuple(R_IC.reshape(-1)), t_ic=(0.045, 0.073, -0.044),
+    )
+    return VIOConfig(
+        camera=cam,
+        tracker=TrackerConfig(max_cnt=120, max_points=144, fisheye=True),
+        estimator=EstimatorConfig(
+            max_features=256, max_imu_per_interval=16, num_iterations=8,
+            acc_n=0.04, gyr_n=0.004, acc_w=4e-4, gyr_w=2e-5,
+        ),
+    )
+
+
+def run_engine(duration, noise=True):
+    cfg = tumvi_cfg()
+    cam = make_camera(cfg.camera, dtype=jnp.float64)
+    if noise:
+        scfg = sim.SimConfig(
+            duration=duration, num_landmarks=700, max_features=120,
+            acc_noise=0.02, gyr_noise=0.002, pixel_noise=0.25,
+            acc_bias=(0.01, -0.005, 0.015),
+            gyr_bias=(0.001, -0.0005, 0.0008), seed=7,
+        )
+    else:
+        scfg = sim.SimConfig(duration=duration, num_landmarks=700,
+                             max_features=120, seed=7)
+    data = sim.simulate(scfg, cam, cfg.camera.r_ic_mat, cfg.camera.t_ic_vec)
+    engine = VIOEngine(cfg, jnp.float32)
+
+    est_ts, est_p = [], []
+    statuses = []
+    imu_i = 0
+    for fi, ts in enumerate(data.cam_ts):
+        while imu_i < len(data.imu_ts) and data.imu_ts[imu_i] <= ts + 1e-9:
+            engine.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                            data.imu_gyr[imu_i])
+            imu_i += 1
+        f = data.frames[fi]
+        res = engine.process_features(ts, f["ids"], f["rays"],
+                                      uv=f["uv"], vel=f["vel"])
+        statuses.append(res.status)
+        if res.ok:
+            p, q, v = engine.get_body_state()
+            est_ts.append(ts)
+            est_p.append(p)
+            # Pose output is a valid SE(3) camera matrix.
+            R = res.pose[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    return engine, data, np.asarray(est_ts), np.asarray(est_p), statuses
+
+
+class TestEngineEndToEnd:
+    def test_noiseless_cold_start_accuracy(self):
+        engine, data, est_ts, est_p, statuses = run_engine(5.0, noise=False)
+        assert Status.TRACKING in statuses
+        assert len(est_p) > 60
+        ate = compute_ate(est_ts, est_p, data.cam_ts, data.gt_p,
+                          with_scale=False)
+        assert ate.rmse < 0.05, f"noiseless ATE {ate.rmse:.3f} m"
+        # Map points exist and are finite.
+        mp = engine.get_map_points()
+        assert len(mp) > 20
+        assert np.all(np.isfinite(mp))
+
+    def test_noisy_tracks_and_stays_sane(self):
+        engine, data, est_ts, est_p, statuses = run_engine(6.0, noise=True)
+        assert Status.TRACKING in statuses
+        assert len(est_p) > 50
+        ate = compute_ate(est_ts, est_p, data.cam_ts, data.gt_p,
+                          with_scale=True)
+        assert np.isfinite(ate.rmse)
+        assert ate.rmse < 1.0, f"noisy Sim3 ATE {ate.rmse:.3f} m"

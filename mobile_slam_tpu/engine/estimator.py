@@ -151,7 +151,7 @@ def _continue_preintegration(carry: pre.Preintegration, stream_acc, stream_gyr,
         return pre._midpoint_step(c, i, carry.lin_ba, carry.lin_bg, noise)
 
     (dp, dq, dv, jac, cov, sum_dt, _, _), _ = jax.lax.scan(
-        step, init, (dt, acc, gyr, active)
+        step, init, (dt, acc, gyr, active), unroll=8 if m <= 32 else 1
     )
     return pre.Preintegration(dp, dq, dv, jac, cov, sum_dt,
                               carry.lin_ba, carry.lin_bg)
@@ -183,7 +183,7 @@ def ingest_imu(state: EstimatorState, inp: FrameInput,
     stream_acc = jnp.where(has_prev, w.imu_acc[fc, last_idx], acc0)
     stream_gyr = jnp.where(has_prev, w.imu_gyr[fc, last_idx], gyr0)
 
-    new_pre = _continue_preintegration(
+    new_pre = pre.continue_preintegration_parallel(
         carry_pre, stream_acc, stream_gyr,
         inp.imu_dt, inp.imu_acc, inp.imu_gyr, inp.imu_cnt, params.noise,
     )
@@ -207,7 +207,7 @@ def ingest_imu(state: EstimatorState, inp: FrameInput,
     imu_gyr0 = w.imu_gyr0.at[fc].set(gyr0)
 
     # World-state propagation of the current slot (skipped for frame 0).
-    p_new, q_new, v_new, _, _ = pre.propagate_state(
+    p_new, q_new, v_new, _, _ = pre.propagate_state_parallel(
         w.p[fc], w.q[fc], w.v[fc], w.ba[fc], w.bg[fc],
         prev_acc, prev_gyr,
         inp.imu_dt, inp.imu_acc, inp.imu_gyr, inp.imu_cnt, params.gravity,
@@ -293,7 +293,7 @@ def _slide_window_new(w: WindowState, prev_acc, prev_gyr,
     last9 = jnp.clip(cnt9 - 1, 0, m - 1)
     stream_acc = jnp.where(cnt9 > 0, w.imu_acc[W - 2, last9], w.imu_acc0[W - 2])
     stream_gyr = jnp.where(cnt9 > 0, w.imu_gyr[W - 2, last9], w.imu_gyr0[W - 2])
-    merged = _continue_preintegration(
+    merged = pre.continue_preintegration_parallel(
         pre9, stream_acc, stream_gyr,
         w.imu_dt[W - 1], w.imu_acc[W - 1], w.imu_gyr[W - 1], w.imu_cnt[W - 1],
         noise,
@@ -419,7 +419,8 @@ def repropagate_window(window: WindowState, ba: jax.Array, bg: jax.Array,
     the stored raw buffers (IntegrationBase::repropagate for the whole
     window, initializer.cpp:382-384)."""
     def one(acc0, gyr0, dt, acc, gyr, cnt):
-        return pre.preintegrate(acc0, gyr0, dt, acc, gyr, cnt, ba, bg, noise)
+        return pre.preintegrate_parallel(acc0, gyr0, dt, acc, gyr, cnt,
+                                         ba, bg, noise)
 
     new_pre = jax.vmap(one)(
         window.imu_acc0, window.imu_gyr0, window.imu_dt, window.imu_acc,

@@ -1,0 +1,90 @@
+"""Camera intrinsic refinement — the CostFunctionFactory analog.
+
+The reference ships a Ceres auto-diff reprojection-cost factory per camera
+model for intrinsic/extrinsic self-calibration
+(src/common/camera_models/CostFunctionFactory.cc:446-470). Here the
+functional camera design makes this generic: every model exposes
+``project(params, pts)``, so one Gauss-Newton refiner with ``jax.jacfwd``
+over the parameter vector serves Pinhole, Kannala-Brandt and Mei alike
+(Scaramuzza's polynomial fit has its own least-squares path,
+models/cameras/scaramuzza.py: fit_inverse_poly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobile_slam_tpu.models.cameras import equidistant, mei, pinhole
+
+_PROJECT = {
+    "PINHOLE": pinhole.project,
+    "KANNALA_BRANDT": equidistant.project,
+    "MEI": mei.project,
+}
+
+
+def refine_intrinsics(
+    model_type: str,
+    params0: jax.Array,     # initial parameter vector for the model
+    pts_cam: jax.Array,     # (N, 3) points in the camera frame
+    uv_obs: jax.Array,      # (N, 2) observed pixels
+    iters: int = 20,
+    mask: jax.Array | None = None,  # optional bool mask of free parameters
+):
+    """Gauss-Newton refinement of the intrinsic vector. Returns
+    (params, rms_px_before, rms_px_after)."""
+    project = _PROJECT[model_type.upper()]
+    params0 = jnp.asarray(params0, jnp.float64)
+    pts = jnp.asarray(pts_cam, jnp.float64)
+    uv = jnp.asarray(uv_obs, jnp.float64)
+    free = (jnp.ones_like(params0, bool) if mask is None
+            else jnp.asarray(mask, bool))
+
+    def residual(p):
+        return (project(p, pts) - uv).reshape(-1)
+
+    r0 = residual(params0)
+    rms_before = float(jnp.sqrt(jnp.mean(r0 ** 2)))
+
+    params = params0
+    jac_fn = jax.jacfwd(residual)
+    mu = 1e-6
+    cost = float(jnp.sum(r0 ** 2))
+    for _ in range(iters):
+        r = residual(params)
+        J = jac_fn(params)
+        J = jnp.where(free[None, :], J, 0.0)
+        H = J.T @ J
+        g = J.T @ r
+        H = H + mu * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-12))
+        H = H + (1e-12) * jnp.eye(H.shape[0])
+        try:
+            delta = -jnp.linalg.solve(H, g)
+        except Exception:
+            break
+        new_params = params + jnp.where(free, delta, 0.0)
+        new_cost = float(jnp.sum(residual(new_params) ** 2))
+        if new_cost < cost:
+            params, cost = new_params, new_cost
+            mu = max(mu / 3, 1e-12)
+        else:
+            mu = min(mu * 10, 1e6)
+    rms_after = float(jnp.sqrt(cost / r0.shape[0]))
+    return np.asarray(params), rms_before, rms_after
+
+
+def calibrate_from_observations(model_type: str, params0, world_pts, uv_obs,
+                                poses, iters: int = 20):
+    """Multi-view intrinsic calibration with known camera poses:
+    world_pts (V, N, 3), uv_obs (V, N, 2), poses = list of (R_cw, t_cw)."""
+    pts_cam = []
+    uv = []
+    for (R, t), wp, ob in zip(poses, world_pts, uv_obs):
+        pts_cam.append(np.asarray(wp) @ np.asarray(R).T + np.asarray(t))
+        uv.append(np.asarray(ob))
+    return refine_intrinsics(
+        model_type, params0, np.concatenate(pts_cam), np.concatenate(uv),
+        iters=iters,
+    )

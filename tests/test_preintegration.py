@@ -17,7 +17,18 @@ def noise64():
     return pre.make_noise_cov(ACC_N, GYR_N, ACC_W, GYR_W, dtype=jnp.float64)
 
 
+PAD = 32  # single compiled shape for all short-interval tests
+
+
 def run_preint(dt, acc, gyr, ba=None, bg=None, acc0=None, gyr0=None):
+    n = len(dt)
+    if n <= PAD:
+        # Pad to one fixed shape with count-masking so the scan compiles once
+        # for the whole module (each distinct M costs a fresh ~30s XLA:CPU
+        # compile on this host).
+        dt = np.concatenate([dt, np.zeros(PAD - n)])
+        acc = np.concatenate([acc, np.zeros((PAD - n, 3))])
+        gyr = np.concatenate([gyr, np.zeros((PAD - n, 3))])
     dt = jnp.asarray(dt, dtype=jnp.float64)
     acc = jnp.asarray(acc, dtype=jnp.float64)
     gyr = jnp.asarray(gyr, dtype=jnp.float64)
@@ -25,9 +36,12 @@ def run_preint(dt, acc, gyr, ba=None, bg=None, acc0=None, gyr0=None):
     bg = jnp.zeros(3, jnp.float64) if bg is None else jnp.asarray(bg, jnp.float64)
     acc0 = acc[0] if acc0 is None else jnp.asarray(acc0, jnp.float64)
     gyr0 = gyr[0] if gyr0 is None else jnp.asarray(gyr0, jnp.float64)
-    return pre.preintegrate(
-        acc0, gyr0, dt, acc, gyr, jnp.asarray(dt.shape[0]), ba, bg, noise64()
-    )
+    return _jit_preint(acc0, gyr0, dt, acc, gyr, jnp.asarray(n), ba, bg)
+
+
+@jax.jit
+def _jit_preint(acc0, gyr0, dt, acc, gyr, n, ba, bg):
+    return pre.preintegrate(acc0, gyr0, dt, acc, gyr, n, ba, bg, noise64())
 
 
 class TestBasics:

@@ -71,6 +71,7 @@ class FrameInput(NamedTuple):
 
 class StepDiag(NamedTuple):
     is_keyframe: jax.Array
+    culled_ids: jax.Array   # (F,) landmark ids rejected as outliers (-1 pad)
     last_track_num: jax.Array
     solver_cost0: jax.Array
     solver_cost: jax.Array
@@ -355,7 +356,7 @@ def solve_and_slide(
     table = ft.triangulate(state.table, w.p, w.q, params.ex_t, params.ex_q,
                            params.init_depth)
     sp = solver_params(params)
-    w, table, res = lm.optimize(
+    w, table, res, culled_ids = lm.optimize(
         w, table, state.prior, params.ex_t, params.ex_q, sp, num_iterations
     )
 
@@ -396,6 +397,7 @@ def solve_and_slide(
 
     diag = StepDiag(
         is_keyframe=is_kf,
+        culled_ids=culled_ids,
         last_track_num=jnp.asarray(0, jnp.int32),
         solver_cost0=res.cost0,
         solver_cost=res.cost,

@@ -94,6 +94,11 @@ class VIOEngine:
     """Push-mode VIO engine. One instance per camera stream."""
 
     def __init__(self, cfg: VIOConfig, dtype=jnp.float32):
+        # TPU f32 matmuls default to bfloat16 passes; the estimator's
+        # whitened systems span ~1e15 dynamic range and the image kernels
+        # feed sub-pixel math, so full f32 MXU precision is required for
+        # correctness (not just accuracy polish).
+        jax.config.update("jax_default_matmul_precision", "highest")
         problems = validate_config(cfg)
         if problems:
             raise ValueError(f"invalid config: {problems}")
@@ -147,6 +152,9 @@ class VIOEngine:
         self._cooldown_remaining = 0
         self._last_pose: Optional[np.ndarray] = None
         self._last_imu_tail = np.zeros(6)
+        self._banned_ids = jnp.full(
+            (self.cfg.estimator.max_features,), -1, jnp.int32
+        )
         self.params = self.params._replace(
             gravity=jnp.asarray(self._gravity_np, self.dtype)
         )
@@ -231,6 +239,7 @@ class VIOEngine:
         self.tracker_state, tout = self._tracker_step(
             self.tracker_state, img,
             jnp.asarray(frame_ts - self._t0, self.dtype), key=sub,
+            banned_ids=self._banned_ids,
         )
         return self._process_tracked(
             frame_ts,
@@ -427,6 +436,7 @@ class VIOEngine:
 
         self._consecutive_failures = 0
         self.status = Status.TRACKING
+        self._banned_ids = diag.culled_ids
 
         # Camera pose output (vio_engine.cpp:293-305).
         r_wb = np.asarray(rot.quat_to_rot(jnp.asarray(q_np)))

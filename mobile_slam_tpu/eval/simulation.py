@@ -119,18 +119,36 @@ def make_trajectory(duration: float, rate: float, g_norm: float = 9.81007,
                       gyr_body=gyr_body)
 
 
-def make_landmarks(num: int, seed: int = 1, room_half: float = 4.0) -> np.ndarray:
-    """Landmarks on the walls/floor/ceiling of a box room."""
+def make_landmarks(num: int, seed: int = 1, room_half: float = 4.0,
+                   min_sep: float = 0.30) -> np.ndarray:
+    """Landmarks on the walls/floor/ceiling of a box room, with a minimum
+    3D separation (greedy rejection) so rendered corner sprites rarely
+    overlap — overlapping sprites create view-dependent 'ghost' corners at
+    their intersections, which no real static scene produces at the density
+    an unconstrained uniform draw does."""
     rng = np.random.default_rng(seed)
-    face = rng.integers(0, 6, num)
-    uvw = rng.uniform(-room_half, room_half, (num, 3))
+    n_try = num * 6
+    face = rng.integers(0, 6, n_try)
+    uvw = rng.uniform(-room_half, room_half, (n_try, 3))
     pts = uvw.copy()
     axis = face % 3
     sign = np.where(face < 3, 1.0, -1.0)
-    pts[np.arange(num), axis] = sign * room_half
+    pts[np.arange(n_try), axis] = sign * room_half
     pts[:, 2] = pts[:, 2] * 0.35 + 1.2  # compress height to room-ish
     pts[face % 3 == 2, 2] = np.where(sign[face % 3 == 2] > 0, 2.8, -0.4)
-    return pts
+
+    from scipy.spatial import cKDTree
+
+    kept: list[np.ndarray] = []
+    for p in pts:
+        if len(kept) >= num:
+            break
+        if kept:
+            tree = cKDTree(np.asarray(kept))
+            if tree.query(p)[0] < min_sep:
+                continue
+        kept.append(p)
+    return np.asarray(kept)
 
 
 @dataclasses.dataclass
@@ -242,9 +260,61 @@ def simulate(cfg: SimConfig, camera, r_ic: np.ndarray, t_ic: np.ndarray) -> SimD
     )
 
 
+_RAY_CACHE: dict = {}
+
+
+def _camera_ray_grid(camera) -> np.ndarray:
+    """(H, W, 3) unit rays for every pixel (cached per camera geometry)."""
+    key = (id(camera), camera.width, camera.height)
+    if key not in _RAY_CACHE:
+        h, w = camera.height, camera.width
+        uu, vv = np.meshgrid(np.arange(w, dtype=np.float64) + 0.5,
+                             np.arange(h, dtype=np.float64) + 0.5)
+        uv = np.stack([uu.ravel(), vv.ravel()], axis=-1)
+        rays = np.array(camera.lift(jnp.asarray(uv)))
+        rays = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+        _RAY_CACHE[key] = rays.reshape(h, w, 3)
+    return _RAY_CACHE[key]
+
+
+def _render_walls(sim_data: SimData, fi: int, camera, r_ic, t_ic,
+                  room_half: float = 4.0) -> np.ndarray:
+    """Raycast the box room; smooth 3D procedural texture at the hit point."""
+    rays_c = _camera_ray_grid(camera)
+    R_wb = _quat_to_rot_np(sim_data.gt_q[fi])
+    R_wc = R_wb @ r_ic
+    t_wc = sim_data.gt_p[fi] + R_wb @ t_ic
+    d = rays_c @ R_wc.T                      # (H, W, 3) world ray dirs
+    h, w = d.shape[:2]
+    o = t_wc
+
+    # Closest positive intersection with the 6 box planes
+    # (x=±L, y=±L, z=-0.4, z=2.8 — matching make_landmarks' room).
+    t_best = np.full((h, w), np.inf)
+    bounds = [(0, room_half), (0, -room_half), (1, room_half),
+              (1, -room_half), (2, 2.8), (2, -0.4)]
+    eps = 1e-9
+    for axis, val in bounds:
+        da = d[..., axis]
+        t = (val - o[axis]) / np.where(np.abs(da) < eps, eps, da)
+        ok = t > 0.05
+        t_best = np.where(ok & (t < t_best), t, t_best)
+    t_best = np.where(np.isfinite(t_best), t_best, 12.0)
+    hit = o[None, None, :] + d * t_best[..., None]
+
+    # Smooth multi-scale 3D texture (no sharp corners — the sprites are the
+    # trackable structure).
+    x, y, z = hit[..., 0], hit[..., 1], hit[..., 2]
+    tex = (55.0
+           + 16.0 * np.sin(2.1 * x + 0.7) * np.cos(1.7 * y + 0.3)
+           + 10.0 * np.sin(3.3 * y + 1.9) * np.cos(2.7 * z + 1.1)
+           + 7.0 * np.sin(4.9 * z + 0.5) * np.cos(3.9 * x + 2.3))
+    return tex
+
+
 def render_frame(sim_data: SimData, fi: int, camera, r_ic: np.ndarray,
                  t_ic: np.ndarray, margin: float = 8.0,
-                 sprite: int = 9, seed: int = 3) -> np.ndarray:
+                 sprite: int = 7, seed: int = 3) -> np.ndarray:
     """Render a synthetic grayscale frame: geometrically-consistent corner
     sprites (2x2 checker patterns) splatted at every visible landmark's
     subpixel projection, over a low-texture background. Lets the full image
@@ -252,9 +322,11 @@ def render_frame(sim_data: SimData, fi: int, camera, r_ic: np.ndarray,
     """
     rng = np.random.default_rng(seed)
     h_img, w_img = camera.height, camera.width
-    # Mild smooth background (no trackable structure).
-    yy, xx = np.mgrid[0:h_img, 0:w_img]
-    img = 60.0 + 20.0 * np.sin(xx / 97.0) * np.cos(yy / 83.0)
+    # Geometrically-consistent background: raycast the box room and sample a
+    # smooth procedural 3D texture at the hit point, so the backdrop moves
+    # correctly with the camera (an image-fixed pattern would be tracked as
+    # zero-motion poison) while giving CLAHE real content to equalize.
+    img = _render_walls(sim_data, fi, camera, r_ic, t_ic)
 
     R_wb = _quat_to_rot_np(sim_data.gt_q[fi])
     R_wc = R_wb @ r_ic

@@ -111,10 +111,19 @@ def detect_and_track(
     cfg: TrackerConfig,
     key: jax.Array,          # PRNG key for RANSAC sampling
     focal: float,
+    banned_ids: jax.Array | None = None,  # ids rejected by the estimator
 ) -> tuple[TrackerState, TrackerOutput]:
     dtype = img.dtype
     h, w = img.shape
     K = cfg.max_points
+
+    if banned_ids is not None:
+        # Estimator outlier feedback: drop rejected landmarks before
+        # tracking so they are not re-fed to the filter.
+        banned = jnp.any(
+            state.ids[:, None] == banned_ids[None, :], axis=1
+        ) & (state.ids >= 0)
+        state = state._replace(active=state.active & ~banned)
 
     if cfg.equalize:
         img = clahe_op.clahe(img, clip_limit=3.0, tiles=8)

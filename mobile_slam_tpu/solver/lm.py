@@ -38,6 +38,9 @@ W = NUM_SLOTS
 S = layout.S
 NSOLVE = layout.EX_COL  # 165 solved dims (extrinsic held constant,
                         # optimizer.cpp:73 SetParameterBlockConstant)
+# Mean whitened reprojection error (units of 1.5px) above which a landmark
+# is culled after the solve: 2.0 ≈ 3 pixels.
+OUTLIER_REPROJ_WHITENED = 1.0
 
 
 class SolveResult(NamedTuple):
@@ -222,8 +225,35 @@ def optimize(
     new_depth = 1.0 / x.lam
     neg = new_depth < 0
     depth = jnp.where(elig & ~neg, new_depth, table.depth)
-    solve_flag = jnp.where(
-        elig, jnp.where(neg, 2, 1).astype(jnp.int32), table.solve_flag
+
+    # Reprojection-error outlier culling (beyond the reference, which relies
+    # on Cauchy only): landmarks whose mean reprojection error at the
+    # converged state exceeds ~outlier_px pixels are flagged for removal —
+    # kills 'ghost' corners (non-rigid intersections, occlusion edges) that
+    # robust weighting alone cannot suppress.
+    from mobile_slam_tpu.factors import projection as proj_mod
+
+    proj_valid = assembly.proj_valid_mask(table)
+    start = jnp.clip(table.start, 0, W - 1)
+    ray_a = jnp.take_along_axis(table.obs, start[:, None, None], axis=1)[:, 0]
+    r_p = proj_mod.residual(
+        ray_a[:, None, :], table.obs, x.lam[:, None],
+        x.p[start][:, None, :], x.q[start][:, None, :],
+        x.p[None, :, :], x.q[None, :, :],
+        ex_t, ex_q, params.sqrt_info_proj,
     )
+    err = jnp.linalg.norm(r_p, axis=-1) * proj_valid  # whitened (px/1.5)
+    n_obs = jnp.maximum(jnp.sum(proj_valid, axis=1), 1)
+    mean_err = jnp.sum(err, axis=1) / n_obs
+    outlier = elig & (mean_err > OUTLIER_REPROJ_WHITENED)
+
+    solve_flag = jnp.where(
+        elig, jnp.where(neg | outlier, 2, 1).astype(jnp.int32),
+        table.solve_flag,
+    )
+    # Ids culled this solve — fed back to the tracker so rejected landmarks
+    # are not immediately re-tracked (the reference lacks this loop; its
+    # removeFailures victims get re-added by the tracker next frame).
+    culled_ids = jnp.where(elig & outlier, table.fid, -1)
     table = table._replace(depth=depth, solve_flag=solve_flag)
-    return window, table, res._replace(x=x)
+    return window, table, res._replace(x=x), culled_ids

@@ -40,7 +40,7 @@ NSOLVE = layout.EX_COL  # 165 solved dims (extrinsic held constant,
                         # optimizer.cpp:73 SetParameterBlockConstant)
 # Mean whitened reprojection error (units of 1.5px) above which a landmark
 # is culled after the solve: 2.0 ≈ 3 pixels.
-OUTLIER_REPROJ_WHITENED = 1.0
+OUTLIER_REPROJ_WHITENED = 2.0
 
 
 class SolveResult(NamedTuple):

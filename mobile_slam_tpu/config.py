@@ -92,6 +92,19 @@ class TrackerConfig:
     ransac_iters: int = 64
     # Shi-Tomasi detection grid (replaces the sequential min-dist mask paint).
     quality_level: float = 0.01
+    # Forward-backward verification: track next->prev and kill tracks whose
+    # round trip misses the origin by more than fb_max_err px. Culls the
+    # occlusion/aperture failures cv::calcOpticalFlowPyrLK lets through.
+    fb_check: bool = True
+    fb_max_err: float = 0.5
+    # Anchor-template refinement: re-localize each track against its
+    # first-observation patch (zero-mean KLT at full resolution) so
+    # frame-to-frame errors do not random-walk. Re-anchors automatically
+    # when appearance changes (resid > anchor_resid or shift > max_shift).
+    anchor_refine: bool = True
+    anchor_iters: int = 8
+    anchor_max_shift: float = 2.0   # px search radius around the LK estimate
+    anchor_resid: float = 14.0      # mean |zero-mean diff| re-anchor gate
 
 
 @dataclasses.dataclass(frozen=True)

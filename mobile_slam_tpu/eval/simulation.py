@@ -350,21 +350,26 @@ def render_frame(sim_data: SimData, fi: int, camera, r_ic: np.ndarray,
         fy = cy_f - np.floor(cy_f)
         ys, xs = np.mgrid[0:sprite + 1, 0:sprite + 1]
         # 2x2 checker centered at the subpixel position -> strong corner.
+        # Band-limited edges (tanh, ~0.7 px transition) emulate optics blur:
+        # a hard sign() edge sampled at integer pixels aliases, so subpixel
+        # motion does not translate appearance smoothly and ANY tracker hits
+        # a ~0.4 px localization floor — real TUM-VI frames are lens-blurred
+        # and cv2 LK localizes them to ~0.1-0.2 px.
         u_rel = xs - half - fx
         v_rel = ys - half - fy
-        checker = (np.sign(u_rel + 1e-9) * np.sign(v_rel + 1e-9) + 1) / 2
+        checker = (np.tanh(u_rel / 0.7) * np.tanh(v_rel / 0.7) + 1) / 2
         if phases[li]:
             checker = 1 - checker
         env = np.exp(-(u_rel ** 2 + v_rel ** 2) / (2 * (half * 0.9) ** 2))
-        patch = checker * env * brightness[li]
+        # Alpha-composite (smooth in subpixel position) instead of max().
+        sprite_val = 40.0 + checker * brightness[li]
         ya, yb = max(y0, 0), min(y0 + sprite + 1, h_img)
         xa, xb = max(x0, 0), min(x0 + sprite + 1, w_img)
         if ya >= yb or xa >= xb:
             continue
-        img[ya:yb, xa:xb] = np.maximum(
-            img[ya:yb, xa:xb],
-            patch[ya - y0:yb - y0, xa - x0:xb - x0] + 60.0,
-        )
+        a = env[ya - y0:yb - y0, xa - x0:xb - x0]
+        sv = sprite_val[ya - y0:yb - y0, xa - x0:xb - x0]
+        img[ya:yb, xa:xb] = img[ya:yb, xa:xb] * (1 - a) + sv * a
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

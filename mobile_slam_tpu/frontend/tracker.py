@@ -40,6 +40,11 @@ class TrackerState(NamedTuple):
     next_id: jax.Array          # () int32 (static n_id, feature_tracker.cpp:10)
     prev_ts: jax.Array          # ()
     has_prev: jax.Array         # () bool
+    # Anchor templates (first-observation appearance) for drift-free
+    # re-localization: (K, win*win) patch + Scharr gradient patches.
+    anchor_tp: jax.Array
+    anchor_gx: jax.Array
+    anchor_gy: jax.Array
 
 
 class TrackerOutput(NamedTuple):
@@ -62,6 +67,7 @@ def init_tracker_state(cfg: TrackerConfig, height: int, width: int,
         jnp.zeros((height // (2 ** l), width // (2 ** l)), dtype)
         for l in range(cfg.lk_pyramid_levels + 1)
     )
+    p = cfg.lk_window_size * cfg.lk_window_size
     return TrackerState(
         pyr=pyr,
         pts=jnp.zeros((K, 2), dtype),
@@ -72,6 +78,9 @@ def init_tracker_state(cfg: TrackerConfig, height: int, width: int,
         next_id=jnp.asarray(0, jnp.int32),
         prev_ts=jnp.asarray(0.0, dtype),
         has_prev=jnp.asarray(False),
+        anchor_tp=jnp.zeros((K, p), dtype),
+        anchor_gx=jnp.zeros((K, p), dtype),
+        anchor_gy=jnp.zeros((K, p), dtype),
     )
 
 
@@ -145,6 +154,35 @@ def detect_and_track(
     )
     active = can_track & ok & inside
 
+    # --- Forward-backward verification ----------------------------------
+    # Track next->prev from the forward result; a good track round-trips to
+    # its origin. Culls occlusion/aperture drifts that pass the min-eig
+    # health check (the reference relies on F-RANSAC alone here).
+    if cfg.fb_check:
+        back_pts, ok_b = lk.track_pyramidal(
+            list(pyr), list(state.pyr), new_pts, active, params
+        )
+        fb2 = jnp.sum((back_pts - state.pts) ** 2, axis=-1)
+        active = active & ok_b & (fb2 <= cfg.fb_max_err ** 2)
+
+    # --- Anchor-template refinement --------------------------------------
+    # Re-localize against the first-observation patch so per-frame LK errors
+    # do not accumulate into a random walk; re-anchor when appearance has
+    # genuinely changed (viewpoint/scale) rather than fight it.
+    reanchor = jnp.zeros((K,), bool)
+    if cfg.anchor_refine:
+        ref_pos, ok_r, resid = lk.refine_template(
+            img, state.anchor_tp, state.anchor_gx, state.anchor_gy,
+            new_pts, active, cfg.lk_window_size, cfg.anchor_iters,
+            cfg.lk_eps, cfg.anchor_max_shift,
+        )
+        shift2 = jnp.sum((ref_pos - new_pts) ** 2, axis=-1)
+        # A refinement that saturated the search radius is distrusted.
+        good = (ok_r & (shift2 < (cfg.anchor_max_shift - 1e-3) ** 2)
+                & (resid <= cfg.anchor_resid))
+        new_pts = jnp.where((active & good)[:, None], ref_pos, new_pts)
+        reanchor = active & ~good
+
     # --- Motion-gated F-matrix rejection (:153-173) --------------------
     disp2 = jnp.sum((new_pts - state.pts) ** 2, axis=-1)
     n_act = jnp.sum(active)
@@ -214,6 +252,19 @@ def detect_and_track(
     active_out = active | placed
     next_id = state.next_id + jnp.sum(can_place).astype(jnp.int32)
 
+    # --- Anchor updates: new detections + appearance-change re-anchors ---
+    if cfg.anchor_refine:
+        tp_new, gx_new, gy_new = lk.extract_patches(
+            img, pts_out, cfg.lk_window_size
+        )
+        upd = (placed | reanchor)[:, None]
+        anchor_tp = jnp.where(upd, tp_new, state.anchor_tp)
+        anchor_gx = jnp.where(upd, gx_new, state.anchor_gx)
+        anchor_gy = jnp.where(upd, gy_new, state.anchor_gy)
+    else:
+        anchor_tp, anchor_gx, anchor_gy = (
+            state.anchor_tp, state.anchor_gx, state.anchor_gy)
+
     # --- Undistortion + velocity (undistortedPoints, :338-380) ----------
     rays = camera.lift_normalized(pts_out)
     norm_pts = rays[:, 0:2]
@@ -230,6 +281,7 @@ def detect_and_track(
         pyr=pyr, pts=pts_out, norm_pts=norm_pts, ids=ids,
         track_cnt=track_cnt, active=active_out, next_id=next_id,
         prev_ts=ts, has_prev=jnp.asarray(True),
+        anchor_tp=anchor_tp, anchor_gx=anchor_gx, anchor_gy=anchor_gy,
     )
 
     obs = jnp.concatenate([norm_pts, jnp.ones((K, 1), dtype)], axis=-1)

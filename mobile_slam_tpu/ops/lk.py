@@ -98,6 +98,83 @@ def track_level(prev_img, next_img, prev_pts, guess, params: LKParams,
     return pos, ok
 
 
+def extract_patches(img, centers, window):
+    """Template + Scharr gradient patches at the given centers.
+
+    Returns (t_patch, gx, gy), each (K, window*window). Used to anchor a
+    feature to its first-observation appearance so later refinement can
+    correct frame-to-frame drift (cv::calcOpticalFlowPyrLK in the reference
+    tracks only frame pairs, feature_tracker.cpp:130-136, and accumulates a
+    per-feature random walk; the anchor pass removes it)."""
+    offsets = _window_offsets(window, img.dtype)
+    ix, iy = im.scharr_derivatives(img)
+    return (_patch(img, centers, offsets),
+            _patch(ix, centers, offsets),
+            _patch(iy, centers, offsets))
+
+
+def refine_template(img, t_patch, gx, gy, pos0, active, window, iters, eps,
+                    max_shift):
+    """Iterative KLT of explicit (anchor) template patches against ``img``
+    at full resolution, starting from ``pos0``.
+
+    Zero-mean photometric normalization makes the match robust to slow
+    illumination/CLAHE drift between the anchor frame and now. The search is
+    clamped to ``max_shift`` px so a stale template cannot yank a point.
+
+    Returns (pos (K,2), ok (K,), resid (K,)) where resid is the mean
+    |zero-mean diff| at the final position (0..255 scale) — the caller's
+    re-anchoring signal."""
+    dtype = img.dtype
+    win2 = window * window
+    offsets = _window_offsets(window, dtype)
+    t_zm = t_patch - jnp.mean(t_patch, axis=1, keepdims=True)
+
+    gxx = jnp.sum(gx * gx, axis=1)
+    gxy = jnp.sum(gx * gy, axis=1)
+    gyy = jnp.sum(gy * gy, axis=1)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / win2
+    invertible = min_eig > 1e-4
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+    def body(_, carry):
+        pos, converged = carry
+        c_patch = _patch(img, pos, offsets)
+        c_zm = c_patch - jnp.mean(c_patch, axis=1, keepdims=True)
+        diff = c_zm - t_zm
+        b1 = jnp.sum(diff * gx, axis=1)
+        b2 = jnp.sum(diff * gy, axis=1)
+        dx = -(gyy * b1 - gxy * b2) * inv_det
+        dy = -(gxx * b2 - gxy * b1) * inv_det
+        delta = jnp.stack([dx, dy], axis=-1)
+        step_ok = active & invertible & ~converged
+        new_pos = pos + delta
+        # Clamp the total excursion from the starting estimate.
+        off = new_pos - pos0
+        r = jnp.sqrt(jnp.sum(off * off, axis=-1, keepdims=True))
+        scale = jnp.where(r > max_shift, max_shift / jnp.maximum(r, 1e-9), 1.0)
+        new_pos = pos0 + off * scale
+        pos = jnp.where(step_ok[:, None], new_pos, pos)
+        converged = converged | (jnp.sum(delta * delta, axis=-1)
+                                 <= eps * eps)
+        return pos, converged
+
+    pos, _ = jax.lax.fori_loop(
+        0, iters, body, (pos0, jnp.zeros(pos0.shape[0], bool)))
+
+    c_patch = _patch(img, pos, offsets)
+    c_zm = c_patch - jnp.mean(c_patch, axis=1, keepdims=True)
+    resid = jnp.mean(jnp.abs(c_zm - t_zm), axis=1)
+
+    h, w = img.shape
+    inside = ((pos[:, 0] >= 0) & (pos[:, 0] < w - 1)
+              & (pos[:, 1] >= 0) & (pos[:, 1] < h - 1))
+    ok = active & invertible & inside & jnp.all(jnp.isfinite(pos), axis=-1)
+    return pos, ok, resid
+
+
 def track_pyramidal(
     prev_pyr: list[jax.Array],
     next_pyr: list[jax.Array],

@@ -178,12 +178,23 @@ def marginalize_new(
     prior: Prior,
     ex_t: jax.Array, ex_q: jax.Array,
 ) -> Prior:
-    """MARGIN_NEW_GENERAL_FRAME: drop the pose of frame W-1 from the prior
-    alone (Optimizer::marginalizeNewGeneralFrame, optimizer.cpp:290-315).
-    If the prior does not involve pose[W-1], it is returned unchanged — the
-    reference skips marginalization entirely in that case."""
+    """MARGIN_NEW_GENERAL_FRAME: drop the pose of the frame the slide
+    discards — slot W-2, whose state is overwritten by the new frame
+    (_slide_window_new) — from the prior alone
+    (Optimizer::marginalizeNewGeneralFrame, optimizer.cpp:290-315: the
+    reference drops para_Pose[WINDOW_SIZE-1], i.e. pose 9 of 0..10, and
+    relabels pose 10 -> 9). If the prior does not involve pose[W-2] (e.g.
+    after consecutive margin-new steps already removed it), it is returned
+    unchanged — the reference skips marginalization entirely in that case.
+
+    ROUND1 BUG (root cause of the margin-new anomaly): this used to
+    eliminate pose[W-1] — the NEW frame, which is never in the prior's
+    support — making margin-new an unconditional no-op. The prior's
+    pose[W-2] block then stayed anchored to the DISCARDED frame's
+    linearization state while the slide moved the new frame into that slot,
+    so every non-keyframe pulled slot W-2 toward a stale pose."""
     dtype = x.p.dtype
-    c0 = layout.pose_col(W - 1)
+    c0 = layout.pose_col(W - 2)
     coupled = jnp.sum(jnp.abs(prior.J0[:, c0:c0 + 6])) > 0
 
     dx = assembly.prior_dx(prior, x, ex_t, ex_q)

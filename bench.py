@@ -44,6 +44,10 @@ R_IC = np.array([[0.0, 0.0, 1.0],
 
 DURATION = float(next((a.split("=")[1] for a in sys.argv
                        if a.startswith("--duration=")), 30.0))
+# Image-path phase length (rendered frames are host-side-expensive to
+# generate, not to process; 15 s = 300 frames is plenty for a rate).
+IMG_DURATION = float(next((a.split("=")[1] for a in sys.argv
+                           if a.startswith("--img-duration=")), 15.0))
 CHUNK = 50
 BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
 
@@ -99,6 +103,186 @@ def frame_input(cfg, data, fi, t0, dtype=jnp.float32):
     )
 
 
+def run_capacity(cfg, data):
+    """Reference-scale solver capacity: 1024 landmark slots (reference
+    NUM_OF_FEATURES=1000, include/utility/config.h:12) with max_cnt=150
+    live tracks. Measures the chunked feature-path rate at that shape.
+    Returns fps (0.0 if init failed)."""
+    cfg_cap = VIOConfig(
+        camera=cfg.camera,
+        tracker=TrackerConfig(max_cnt=150, min_dist=20, max_points=256,
+                              fisheye=True),
+        estimator=EstimatorConfig(
+            max_features=1024, max_imu_per_interval=16, num_iterations=8,
+            acc_n=0.04, gyr_n=0.004, acc_w=4e-4, gyr_w=2e-5,
+        ),
+    )
+    engine = VIOEngine(cfg_cap, jnp.float32)
+    imu_i = 0
+    init_frame = None
+    fi = 0
+    n = len(data.frames)
+    while fi < n:
+        ts = data.cam_ts[fi]
+        while imu_i < len(data.imu_ts) and data.imu_ts[imu_i] <= ts + 1e-9:
+            engine.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                            data.imu_gyr[imu_i])
+            imu_i += 1
+        f = data.frames[fi]
+        res = engine.process_features(ts, f["ids"], f["rays"],
+                                      uv=f["uv"], vel=f["vel"])
+        fi += 1
+        if init_frame is None and res.status == Status.TRACKING:
+            init_frame = fi - 1
+        if init_frame is not None and fi >= init_frame + 3:
+            break
+    if init_frame is None:
+        return 0.0
+    step = chunked.make_chunked_step(engine.params,
+                                     cfg_cap.estimator.num_iterations)
+    state = engine.state
+    t0_seq = engine._t0
+    batches = []
+    n_cap = min(fi + 4 * CHUNK, n)
+    while fi + CHUNK <= n_cap:
+        inputs = [frame_input(cfg_cap, data, fi + k, t0_seq)
+                  for k in range(CHUNK)]
+        batches.append(jax.device_put(chunked.stack_frame_inputs(inputs)))
+        fi += CHUNK
+    if not batches:
+        return 0.0
+    state, out0 = step(state, batches[0])  # compile + warmup
+    jax.block_until_ready(out0[0])
+    t_s = time.perf_counter()
+    outs = []
+    for batch in batches[1:]:
+        state, out = step(state, batch)
+        outs.append(out)
+    if outs:
+        jax.block_until_ready(outs[-1][0])
+        return CHUNK * len(outs) / (time.perf_counter() - t_s)
+    # Single chunk available: retime it.
+    t_s = time.perf_counter()
+    state, out = step(state, batches[0])
+    jax.block_until_ready(out[0])
+    return CHUNK / (time.perf_counter() - t_s)
+
+
+def run_image_path(cfg, cam, data):
+    """Stream rendered frames until init, then chunked image-path serving.
+
+    Returns (fps_image, ate_sim3_rmse, n_poses, n_frames)."""
+    n_img = min(int(IMG_DURATION * 20.0), len(data.frames))
+    print(f"[bench] image path: rendering {n_img} frames...", file=sys.stderr)
+    t_r = time.perf_counter()
+    frames = [sim.render_frame(data, fi, cam, R_IC, cfg.camera.t_ic_vec)
+              for fi in range(n_img)]
+    print(f"[bench] rendered in {time.perf_counter()-t_r:.0f}s",
+          file=sys.stderr)
+
+    engine = VIOEngine(cfg, jnp.float32)
+    est_ts, est_p = [], []
+    imu_i = 0
+    init_frame = None
+    fi = 0
+    while fi < n_img:
+        ts = data.cam_ts[fi]
+        while imu_i < len(data.imu_ts) and data.imu_ts[imu_i] <= ts + 1e-9:
+            engine.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                            data.imu_gyr[imu_i])
+            imu_i += 1
+        res = engine.process_frame(frames[fi], ts)
+        if res.ok:
+            p, _, _ = engine.get_body_state()
+            est_ts.append(ts)
+            est_p.append(p)
+        fi += 1
+        if init_frame is None and res.status == Status.TRACKING:
+            init_frame = fi - 1
+            print(f"[bench] image path initialized at frame {init_frame}",
+                  file=sys.stderr)
+        if init_frame is not None and fi >= init_frame + 3:
+            break
+    if init_frame is None:
+        return 0.0, float("nan"), 0, n_img
+
+    step_img = chunked.make_chunked_image_step(
+        engine.params, cfg.estimator.num_iterations, cfg.tracker,
+        engine.camera, cfg.camera.focal_length,
+    )
+    carry = chunked.ImageChunkCarry(
+        est_state=engine.state, tracker_state=engine.tracker_state,
+        banned_ids=engine._banned_ids, key=engine._key,
+    )
+    t0_seq = engine._t0
+    dtype = jnp.float32
+    batches, chunk_starts = [], []
+    while fi + CHUNK <= n_img:
+        inputs = []
+        for k in range(CHUNK):
+            j = fi + k
+            t1 = data.cam_ts[j]
+            tp = data.cam_ts[j - 1]
+            dt, acc, gyr = sim.imu_between(data, tp, t1)
+            m_pad = cfg.estimator.max_imu_per_interval
+            m = min(len(dt), m_pad)
+
+            def pad(a, n_p, sh):
+                out = np.zeros((n_p,) + sh)
+                out[:len(a)] = a[:n_p]
+                return out
+
+            inputs.append(chunked.ImageFrameInput(
+                img=jnp.asarray(frames[j], dtype),
+                ts=jnp.asarray(t1 - t0_seq, dtype),
+                imu_dt=jnp.asarray(pad(dt, m_pad, ()), dtype),
+                imu_acc=jnp.asarray(pad(acc, m_pad, (3,)), dtype),
+                imu_gyr=jnp.asarray(pad(gyr, m_pad, (3,)), dtype),
+                imu_cnt=jnp.asarray(m, jnp.int32),
+            ))
+        batches.append(jax.device_put(chunked.stack_image_inputs(inputs)))
+        chunk_starts.append(fi)
+        fi += CHUNK
+
+    fps_image = 0.0
+    outs = []
+    if batches:
+        carry, out0 = step_img(carry, batches[0])
+        jax.block_until_ready(out0[0])
+        outs.append(out0)
+        t_s = time.perf_counter()
+        for batch in batches[1:]:
+            carry, out = step_img(carry, batch)
+            outs.append(out)
+        jax.block_until_ready(outs[-1][0])
+        wall = time.perf_counter() - t_s
+        n_chunked = CHUNK * (len(batches) - 1)
+        if n_chunked:
+            fps_image = n_chunked / wall
+        elif len(batches) == 1:
+            # Single chunk: time a second pass over the same chunk.
+            t_s = time.perf_counter()
+            carry, out = step_img(carry, batches[0])
+            jax.block_until_ready(out[0])
+            fps_image = CHUNK / (time.perf_counter() - t_s)
+
+    for start, (p_out, q_out, ok, kf) in zip(chunk_starts, outs):
+        p_np = np.asarray(p_out, np.float64)
+        ok_np = np.asarray(ok)
+        for k in range(CHUNK):
+            if ok_np[k]:
+                est_ts.append(data.cam_ts[start + k])
+                est_p.append(p_np[k])
+
+    ate = float("nan")
+    if len(est_p) > 10:
+        ate = compute_ate(np.asarray(est_ts), np.asarray(est_p, np.float64),
+                          data.cam_ts, data.gt_p, with_scale=True).rmse
+    print(f"[bench] fps_image_path={fps_image:.1f} ate_img_sim3={ate:.3f}m "
+          f"poses={len(est_p)}/{n_img}", file=sys.stderr)
+    return fps_image, ate, len(est_p), n_img
+
+
 def main():
     cfg = make_cfg()
     cam = make_camera(cfg.camera, dtype=jnp.float64)
@@ -117,7 +301,20 @@ def main():
     engine = VIOEngine(cfg, jnp.float32)
 
     # --- Phase 1: streaming until initialized + a measurement stretch. ---
-    est_ts, est_p, est_q = [], [], []
+    # After init the per-frame push API runs in PIPELINED mode (one-frame
+    # lag, vio_engine.enable_pipelined_streaming): each call dispatches this
+    # frame and returns the previous frame's pose whose async device->host
+    # copy has had a full frame interval to arrive — so the measured rate is
+    # device-bound, not tunnel-RTT-bound (the reference's real-time push
+    # contract, include/vio_engine.h:57-60).
+    r_ic_mat = cfg.camera.r_ic_mat
+    t_ic_vec = cfg.camera.t_ic_vec
+
+    def pose_to_body(pose):
+        r_wb = pose[:3, :3] @ r_ic_mat.T
+        return pose[:3, 3] - r_wb @ t_ic_vec
+
+    est_ts, est_p = [], []
     imu_i = 0
     init_frame = None
     stream_times = []
@@ -133,19 +330,24 @@ def main():
         res = engine.process_features(ts, f["ids"], f["rays"],
                                       uv=f["uv"], vel=f["vel"])
         dt_call = time.perf_counter() - t_s
-        if res.ok:
-            p, q, _ = engine.get_body_state()
-            est_ts.append(ts)
-            est_p.append(p)
-            est_q.append(q)
+        if res.ok and res.pose is not None:
+            est_ts.append(res.ts if res.ts is not None else ts)
+            est_p.append(pose_to_body(res.pose))
         if init_frame is None and res.status == Status.TRACKING:
             init_frame = fi
-            print(f"[bench] initialized at frame {fi}", file=sys.stderr)
-        if init_frame is not None and fi > init_frame + 2:
+            engine.enable_pipelined_streaming(True)
+            print(f"[bench] initialized at frame {fi} (pipelined streaming on)",
+                  file=sys.stderr)
+        if init_frame is not None and fi > init_frame + 4:
             stream_times.append(dt_call)
         fi += 1
-        if init_frame is not None and fi >= init_frame + 43:
+        if init_frame is not None and fi >= init_frame + 63:
             break
+    tail = engine.flush()
+    if tail is not None and tail.ok and tail.pose is not None:
+        est_ts.append(tail.ts)
+        est_p.append(pose_to_body(tail.pose))
+    engine.enable_pipelined_streaming(False)
     if init_frame is None:
         print(json.dumps({
             "metric": "VIO frames/sec/chip (TUM-VI-like synthetic)",
@@ -201,7 +403,18 @@ def main():
             if ok_np[k]:
                 est_ts.append(data.cam_ts[start + k])
                 est_p.append(p_np[k])
-                est_q.append(q_np[k])
+
+    # --- Phase 3: FULL IMAGE PATH (tracker inside the scan) --------------
+    # The reference's hot loop is detectAndTrack + processImage
+    # (vio_engine.cpp:209-243); this phase measures the same thing: rendered
+    # frames are pre-staged on device and each chunk runs CLAHE + pyramid +
+    # LK(+FB/anchor) + RANSAC + Shi-Tomasi + the full filter per frame.
+    fps_image, ate_img_sim3, img_poses, n_img_frames = run_image_path(cfg, cam, data)
+
+    # --- Phase 4: reference-scale capacity (1024 landmark slots). --------
+    fps_capacity = run_capacity(cfg, data)
+    print(f"[bench] fps_capacity_1024slots={fps_capacity:.1f}",
+          file=sys.stderr)
 
     # --- Accuracy -------------------------------------------------------
     est_ts = np.asarray(est_ts)
@@ -220,8 +433,14 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps_chunked / BASELINE_FPS, 3),
         "fps_streaming": round(fps_stream, 2),
+        "fps_image_path": round(fps_image, 2),
+        "fps_capacity_1024slots": round(fps_capacity, 2),
         "ate_sim3_rmse_m": round(ate_sim3.rmse, 4),
         "ate_se3_rmse_m": round(ate_se3.rmse, 4),
+        "ate_image_path_sim3_m": (None if ate_img_sim3 != ate_img_sim3
+                                  else round(ate_img_sim3, 4)),
+        "image_path_poses": img_poses,
+        "image_path_frames": n_img_frames,
         "poses": len(est_p),
         "frames": n_frames,
     }))

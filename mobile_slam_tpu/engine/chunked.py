@@ -12,10 +12,13 @@ Used by bench.py and available through VIOEngine for offline/burst replay.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from mobile_slam_tpu.engine import estimator as est
+from mobile_slam_tpu.frontend import tracker as trk
 
 
 def make_chunked_step(params: est.StaticParams, num_iterations: int):
@@ -43,4 +46,65 @@ def make_chunked_step(params: est.StaticParams, num_iterations: int):
 
 def stack_frame_inputs(inputs: list[est.FrameInput]) -> est.FrameInput:
     """Stack host-built FrameInputs along a leading chunk axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *inputs)
+
+
+class ImageFrameInput(NamedTuple):
+    """Per-frame raw input for the full image path: grayscale frame + the
+    IMU slice (prev_ts, ts] (measurement_processor.cpp:272-286)."""
+
+    img: jax.Array      # (H, W) grayscale 0..255
+    ts: jax.Array       # () seconds since sequence start
+    imu_dt: jax.Array   # (M,)
+    imu_acc: jax.Array  # (M, 3)
+    imu_gyr: jax.Array  # (M, 3)
+    imu_cnt: jax.Array  # () int32
+
+
+class ImageChunkCarry(NamedTuple):
+    est_state: est.EstimatorState
+    tracker_state: trk.TrackerState
+    banned_ids: jax.Array   # (F,) estimator outlier feedback to the tracker
+    key: jax.Array          # PRNG key for RANSAC hypothesis sampling
+
+
+def make_chunked_image_step(params: est.StaticParams, num_iterations: int,
+                            tracker_cfg, camera, focal: float):
+    """Full image path in ONE device program per chunk: the lax.scan step
+    runs CLAHE -> pyramid -> LK (+FB/anchor) -> F-RANSAC -> Shi-Tomasi ->
+    undistort (frontend/tracker.py) and then bookkeeping + solve + slide —
+    the reference's complete per-frame hot loop (vio_engine.cpp:209-243)
+    with zero host round trips inside the chunk.
+
+    Returns a jitted fn(ImageChunkCarry, ImageFrameInput-with-leading-T) ->
+    (carry, (p (T,3), q (T,4), ok (T,), is_kf (T,)))."""
+
+    def one_frame(carry: ImageChunkCarry, inp: ImageFrameInput):
+        key, sub = jax.random.split(carry.key)
+        tstate, tout = trk.detect_and_track(
+            carry.tracker_state, inp.img, inp.ts, camera, tracker_cfg,
+            sub, focal, banned_ids=carry.banned_ids,
+        )
+        finp = est.FrameInput(
+            ts=inp.ts, ids=tout.ids, obs=tout.obs, uv=tout.uv,
+            vel=tout.vel, valid=tout.valid,
+            imu_dt=inp.imu_dt, imu_acc=inp.imu_acc, imu_gyr=inp.imu_gyr,
+            imu_cnt=inp.imu_cnt,
+        )
+        state, is_kf = est.bookkeeping_step(carry.est_state, finp, params)
+        state, p, q, diag = est.solve_and_slide(
+            state, is_kf, params, num_iterations
+        )
+        ok = (diag.state_finite & (diag.vel_norm <= 10.0)
+              & (diag.pos_norm <= 100.0))
+        return (ImageChunkCarry(state, tstate, diag.culled_ids, key),
+                (p, q, ok, diag.is_keyframe))
+
+    def chunk(carry, inputs):
+        return jax.lax.scan(one_frame, carry, inputs)
+
+    return jax.jit(chunk, donate_argnums=(0,))
+
+
+def stack_image_inputs(inputs: list[ImageFrameInput]) -> ImageFrameInput:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *inputs)

@@ -61,6 +61,9 @@ class FrameResult(NamedTuple):
     status: Status
     num_features: int
     is_keyframe: bool
+    # Timestamp the pose belongs to (set in pipelined streaming mode, where
+    # a call returns the PREVIOUS frame's pose; None = current frame).
+    ts: Optional[float] = None
 
 
 INIT_TIMEOUT_S = 15.0          # vio_engine.h:111-117
@@ -126,6 +129,10 @@ class VIOEngine:
             init_depth=self.params.init_depth,
         ))
         self._key = jax.random.PRNGKey(0)
+        # One-frame-lag streaming (enable_pipelined_streaming): survives
+        # reset() so a re-initialized engine keeps its streaming contract.
+        self._pipelined = False
+        self._pending = None
 
         self.reset()
 
@@ -139,6 +146,7 @@ class VIOEngine:
             self.cfg.tracker, self.cfg.camera.height, self.cfg.camera.width,
             self.dtype,
         )
+        self._pending = None  # drop any in-flight pipelined frame
         self.status = Status.INITIALIZING
         self.frame_index = 0
         self.host_frames: list[HostFrame] = []
@@ -163,6 +171,7 @@ class VIOEngine:
         """Estimator rebuild on failure (vio_engine.cpp:188-207): tracker
         state survives, estimator restarts initialization."""
         self.state = est.init_state(self.cfg, self.params, self.dtype)
+        self._pending = None  # in-flight pipelined frame used the old state
         self.host_frames = []
         self.window_ts = np.zeros(W)
         self._first_frame_time = None
@@ -408,6 +417,50 @@ class VIOEngine:
         self.state, p_out, q_out, diag = self._solve(
             self.state, is_kf, self.params
         )
+        # Outlier-ban feedback to the tracker rides device-to-device; no
+        # host sync required.
+        self._banned_ids = diag.culled_ids
+
+        if not self._pipelined:
+            return self._finalize_tracking(p_out, q_out, diag)
+
+        # Pipelined (one-frame-lag) streaming: the reference's real-time
+        # contract is a per-frame push API (include/vio_engine.h:57-60); on
+        # a chip behind a network tunnel, blocking on THIS frame's readback
+        # makes every call RTT-bound. Instead: dispatch this frame's
+        # program, kick off async device->host copies, and return the
+        # PREVIOUS frame's pose — whose copy has had a full frame interval
+        # to arrive. Per-call cost becomes device-time-bound.
+        for a in (p_out, q_out, diag.vel_norm, diag.pos_norm,
+                  diag.state_finite, diag.is_keyframe, diag.last_track_num):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        prev, self._pending = self._pending, (
+            p_out, q_out, diag, self._cur_frame_ts)
+        if prev is None:
+            return FrameResult(False, self._last_pose, Status.TRACKING,
+                               0, False)
+        return self._finalize_tracking(*prev)
+
+    def enable_pipelined_streaming(self, on: bool = True) -> None:
+        """Toggle one-frame-lag streaming (see _process_tracking). Results
+        carry .ts identifying which frame the pose belongs to; call flush()
+        at end of stream to drain the last frame."""
+        if not on:
+            self.flush()
+        self._pipelined = on
+
+    def flush(self) -> Optional[FrameResult]:
+        """Finalize the last dispatched frame in pipelined mode."""
+        if self._pending is None:
+            return None
+        prev, self._pending = self._pending, None
+        return self._finalize_tracking(*prev)
+
+    def _finalize_tracking(self, p_out, q_out, diag,
+                           ts: Optional[float] = None) -> FrameResult:
         if bool(diag.is_keyframe):
             self.window_ts[:-1] = self.window_ts[1:]
         else:

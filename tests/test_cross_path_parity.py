@@ -1,0 +1,214 @@
+"""Cross-pipeline parity: the same data through independent ingest paths
+must produce matching trajectories — the reference's key acceptance test
+(tests/test_vio_engine_parity.cpp:117-394, tolerances :376-394: avg position
+divergence < 1.0 m, avg rotation < 10 deg).
+
+Paths compared here:
+  (a) streaming  VIOEngine.process_features  (per-frame push API)
+  (b) chunked    engine/chunked.py make_chunked_step (lax.scan serving mode)
+  (c) pipelined  one-frame-lag streaming (enable_pipelined_streaming)
+
+Chunked-vs-streaming is exactly where masked-state bugs hide (the scan
+carries donated fixed-shape state through 11-slot slides), so (a)/(b) get a
+much tighter tolerance than the reference's cross-engine bound.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobile_slam_tpu.engine import chunked, estimator as est
+from mobile_slam_tpu.engine.vio_engine import Status, VIOEngine
+from mobile_slam_tpu.eval import simulation as sim
+from mobile_slam_tpu.models.cameras.base import make_camera
+
+from tests.test_engine_e2e import R_IC, tumvi_cfg
+
+DURATION = 12.0
+CHUNK = 20
+
+
+@pytest.fixture(scope="module")
+def world():
+    cfg = tumvi_cfg()
+    cam = make_camera(cfg.camera, dtype=jnp.float64)
+    scfg = sim.SimConfig(
+        duration=DURATION, num_landmarks=700, max_features=120,
+        acc_noise=0.02, gyr_noise=0.002, pixel_noise=0.25,
+        acc_bias=(0.01, -0.005, 0.015), gyr_bias=(0.001, -0.0005, 0.0008),
+        seed=7,
+    )
+    data = sim.simulate(scfg, cam, cfg.camera.r_ic_mat, cfg.camera.t_ic_vec)
+    return cfg, data
+
+
+def _stream_until_init(cfg, data, extra=3):
+    """Run the streaming engine until TRACKING + `extra` frames. Returns
+    (engine, next_frame_index, imu_index)."""
+    engine = VIOEngine(cfg, jnp.float32)
+    imu_i = 0
+    init_frame = None
+    for fi, ts in enumerate(data.cam_ts):
+        while imu_i < len(data.imu_ts) and data.imu_ts[imu_i] <= ts + 1e-9:
+            engine.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                            data.imu_gyr[imu_i])
+            imu_i += 1
+        f = data.frames[fi]
+        res = engine.process_features(ts, f["ids"], f["rays"],
+                                      uv=f["uv"], vel=f["vel"])
+        if init_frame is None and res.status == Status.TRACKING:
+            init_frame = fi
+        if init_frame is not None and fi >= init_frame + extra:
+            return engine, fi + 1, imu_i
+    pytest.fail("engine never initialized")
+
+
+def _frame_input(cfg, data, fi, t0, dtype=jnp.float32):
+    f = data.frames[fi]
+    t1 = data.cam_ts[fi]
+    tp = data.cam_ts[fi - 1]
+    dt, acc, gyr = sim.imu_between(data, tp, t1)
+    k_pad = cfg.tracker.max_points
+    m_pad = cfg.estimator.max_imu_per_interval
+    n, m = len(f["ids"]), min(len(dt), m_pad)
+
+    def pad(a, n_p, sh):
+        out = np.zeros((n_p,) + sh)
+        out[:len(a)] = a[:n_p]
+        return out
+
+    ids = np.full(k_pad, -1, np.int32)
+    ids[:n] = f["ids"][:k_pad]
+    return est.FrameInput(
+        ts=jnp.asarray(t1 - t0, dtype),
+        ids=jnp.asarray(ids),
+        obs=jnp.asarray(pad(f["rays"], k_pad, (3,)), dtype),
+        uv=jnp.asarray(pad(f["uv"], k_pad, (2,)), dtype),
+        vel=jnp.asarray(pad(f["vel"], k_pad, (2,)), dtype),
+        valid=jnp.asarray(np.arange(k_pad) < n),
+        imu_dt=jnp.asarray(pad(dt, m_pad, ()), dtype),
+        imu_acc=jnp.asarray(pad(acc, m_pad, (3,)), dtype),
+        imu_gyr=jnp.asarray(pad(gyr, m_pad, (3,)), dtype),
+        imu_cnt=jnp.asarray(m, jnp.int32),
+    )
+
+
+def _quat_angle_deg(q1, q2):
+    d = np.abs(np.sum(q1 * q2, axis=-1))
+    return np.rad2deg(2 * np.arccos(np.clip(d, -1.0, 1.0)))
+
+
+class TestStreamingVsChunked:
+    def test_pose_by_pose_agreement(self, world):
+        cfg, data = world
+        n = len(data.cam_ts)
+
+        # Shared warm start: initialize once, snapshot, then diverge paths.
+        engine, fi0, imu_i0 = _stream_until_init(cfg, data)
+        state_snapshot = jax.tree.map(lambda a: a, engine.state)
+        t0 = engine._t0
+
+        # Path (a): continue streaming.
+        sa_p, sa_q, sa_ok = [], [], []
+        imu_i = imu_i0
+        for fi in range(fi0, n):
+            ts = data.cam_ts[fi]
+            while imu_i < len(data.imu_ts) and data.imu_ts[imu_i] <= ts + 1e-9:
+                engine.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                                data.imu_gyr[imu_i])
+                imu_i += 1
+            f = data.frames[fi]
+            res = engine.process_features(ts, f["ids"], f["rays"],
+                                          uv=f["uv"], vel=f["vel"])
+            p, q, _ = engine.get_body_state()
+            sa_p.append(p)
+            sa_q.append(q)
+            sa_ok.append(res.ok)
+
+        # Path (b): chunked scan from the same snapshot.
+        step = chunked.make_chunked_step(engine.params,
+                                         cfg.estimator.num_iterations)
+        state = state_snapshot
+        sb_p, sb_q, sb_ok = [], [], []
+        fi = fi0
+        while fi < n:
+            hi = min(fi + CHUNK, n)
+            inputs = [_frame_input(cfg, data, k, t0) for k in range(fi, hi)]
+            state, (p_out, q_out, ok, _) = step(
+                state, chunked.stack_frame_inputs(inputs))
+            sb_p.extend(np.asarray(p_out, np.float64))
+            sb_q.extend(np.asarray(q_out, np.float64))
+            sb_ok.extend(np.asarray(ok))
+            fi = hi
+
+        sa_p, sb_p = np.asarray(sa_p), np.asarray(sb_p)
+        sa_q, sb_q = np.asarray(sa_q), np.asarray(sb_q)
+        m = min(len(sa_p), len(sb_p))
+        assert m > 100
+        assert all(sa_ok[:m]) and all(sb_ok[:m])
+
+        dp = np.linalg.norm(sa_p[:m] - sb_p[:m], axis=-1)
+        dr = _quat_angle_deg(sa_q[:m], sb_q[:m])
+        # Identical math, identical inputs; only XLA program fusion differs.
+        # Measured behavior: agreement at 1e-6..1e-4 m for the first seconds,
+        # then ulp-level differences amplify chaotically through the LM
+        # accept/reject cascade and binary keyframe decisions (~0.37 m after
+        # 10 s). A masked-state bug would diverge IMMEDIATELY, so the sharp
+        # gate is the early horizon; the full horizon gets the reference's
+        # cross-engine tolerance (test_vio_engine_parity.cpp:376-394).
+        early = min(m, 60)
+        assert dp[:early].max() < 0.02, (
+            f"early divergence {dp[:early].max():.5f} m — "
+            "chunked scan state does not match streaming state")
+        assert dp.mean() < 0.20, f"avg position divergence {dp.mean():.4f} m"
+        assert dp.max() < 1.0, f"max position divergence {dp.max():.4f} m"
+        assert dr.mean() < 5.0, f"avg rotation divergence {dr.mean():.3f} deg"
+
+
+class TestStreamingVsPipelined:
+    def test_pipelined_matches_sync_with_one_frame_lag(self, world):
+        cfg, data = world
+        n = len(data.cam_ts)
+
+        engine, fi0, imu_i0 = _stream_until_init(cfg, data)
+        state_snapshot = jax.tree.map(lambda a: a, engine.state)
+        banned_snapshot = engine._banned_ids
+
+        def run(pipelined):
+            engine.state = jax.tree.map(lambda a: a, state_snapshot)
+            engine._banned_ids = banned_snapshot
+            engine.status = Status.TRACKING
+            engine._pending = None
+            engine._pipelined = pipelined
+            imu_i = imu_i0
+            out = {}
+            for fi in range(fi0, n):
+                ts = data.cam_ts[fi]
+                while (imu_i < len(data.imu_ts)
+                       and data.imu_ts[imu_i] <= ts + 1e-9):
+                    engine.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                                    data.imu_gyr[imu_i])
+                    imu_i += 1
+                f = data.frames[fi]
+                res = engine.process_features(ts, f["ids"], f["rays"],
+                                              uv=f["uv"], vel=f["vel"])
+                if res.ok and res.pose is not None:
+                    key = res.ts if res.ts is not None else ts
+                    out[round(key, 6)] = res.pose
+            tail = engine.flush()
+            if tail is not None and tail.ok:
+                out[round(tail.ts, 6)] = tail.pose
+            engine._pipelined = False
+            return out
+
+        sync = run(False)
+        pipe = run(True)
+        common = sorted(set(sync) & set(pipe))
+        assert len(common) > 0.9 * len(sync)
+        dp = np.asarray([np.linalg.norm(sync[t][:3, 3] - pipe[t][:3, 3])
+                         for t in common])
+        # Same program, same inputs, same state; only the readback timing
+        # differs. Results must agree to float32 readback precision.
+        assert dp.max() < 1e-4, f"pipelined diverged: max {dp.max():.2e} m"

@@ -41,12 +41,46 @@ class RunSummary:
 
 
 class VIOSystem:
+    # Live-view artifact cadence (frames). The reference runs a Pangolin
+    # viewer thread next to the VIO thread (src/vio_system.cpp:35-57,
+    # visualizer.cpp:54-88); here the live view is web/server.py +
+    # web/viewer.html polling the run directory, so VIOSystem periodically
+    # writes live.json (map points + IMU window + status) next to the
+    # periodically-flushed trajectory_pose.txt.
+    LIVE_EVERY = 20
+    IMU_WINDOW_S = 5.0  # IMUGraphVisualizer analog (imu_graph_visualizer.cpp:33-43)
+
     def __init__(self, cfg: VIOConfig, dataset_root: str | None = None,
                  log_root: str = "logs", config_blob: str | None = None):
         self.cfg = cfg
         self.dataset = EurocDataset(dataset_root or cfg.dataset_path)
         self.engine = VIOEngine(cfg)
         self.logger = ResultLogger(log_root, config_blob)
+        self._imu_window: list[tuple] = []
+
+    def _write_live(self, status: Status, frames: int, poses: int) -> None:
+        import json
+        import os
+
+        try:
+            pts = self.engine.get_map_points()
+        except Exception:
+            pts = np.zeros((0, 3))
+        payload = {
+            "status": status.name,
+            "frames": frames,
+            "poses": poses,
+            "map_points": np.asarray(pts, float).round(4).tolist(),
+            "imu": {
+                "ts": [round(s[0], 4) for s in self._imu_window],
+                "acc": [[round(v, 4) for v in s[1]] for s in self._imu_window],
+                "gyr": [[round(v, 5) for v in s[2]] for s in self._imu_window],
+            },
+        }
+        tmp = os.path.join(self.logger.dir, ".live.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(self.logger.dir, "live.json"))
 
     def process_sequence(self, progress_every: int = 100) -> RunSummary:
         cfg = self.cfg
@@ -67,7 +101,13 @@ class VIOSystem:
             while imu_i < len(ds.imu.ts) and ds.imu.ts[imu_i] <= ts + 1e-12:
                 self.engine.push_imu(ds.imu.ts[imu_i], ds.imu.acc[imu_i],
                                      ds.imu.gyr[imu_i])
+                self._imu_window.append((float(ds.imu.ts[imu_i]),
+                                         ds.imu.acc[imu_i].tolist(),
+                                         ds.imu.gyr[imu_i].tolist()))
                 imu_i += 1
+            while (self._imu_window
+                   and self._imu_window[0][0] < ts - self.IMU_WINDOW_S):
+                self._imu_window.pop(0)
             img = ds.read_image(idx)
             res = self.engine.process_frame(img, ts)
             frames += 1
@@ -86,6 +126,8 @@ class VIOSystem:
             if progress_every and frames % progress_every == 0:
                 print(f"[vio] frame {idx}/{end} status={res.status.name} "
                       f"poses={poses}", file=sys.stderr)
+            if frames % self.LIVE_EVERY == 0:
+                self._write_live(res.status, frames, poses)
 
         wall = time.time() - t_wall
         summary = RunSummary(

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 RUN_DIR = None
 MAP_FILE = None
+DATA_DIR = None
 
 
 def build_payload():
@@ -27,6 +28,7 @@ def build_payload():
 
     traj = []
     map_pts = []
+    live = {}
     path = os.path.join(RUN_DIR, "trajectory_pose.txt")
     if os.path.exists(path):
         _, p, _ = read_tum(path)
@@ -35,7 +37,20 @@ def build_payload():
         import numpy as np
 
         map_pts = np.load(MAP_FILE).tolist()
-    return {"trajectory": traj, "map_points": map_pts}
+    # live.json is written periodically by a running VIOSystem
+    # (engine/vio_system.py _write_live): map points + IMU window + status.
+    live_path = os.path.join(RUN_DIR, "live.json")
+    if os.path.exists(live_path):
+        try:
+            with open(live_path) as f:
+                live = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            live = {}
+    if not map_pts:
+        map_pts = live.get("map_points", [])
+    return {"trajectory": traj, "map_points": map_pts,
+            "imu": live.get("imu", {}), "status": live.get("status", ""),
+            "frames": live.get("frames", 0), "poses": live.get("poses", 0)}
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -46,15 +61,36 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    MIME = {".html": "text/html", ".js": "application/javascript",
+            ".json": "application/json", ".css": "text/css",
+            ".png": "image/png", ".pgm": "application/octet-stream",
+            ".csv": "text/csv"}
+
     def do_GET(self):
-        if self.path in ("/", "/index.html", "/viewer.html"):
-            with open(os.path.join(os.path.dirname(__file__),
-                                   "viewer.html"), "rb") as f:
+        web_dir = os.path.dirname(os.path.abspath(__file__))
+        if self.path in ("/", "/viewer.html"):
+            with open(os.path.join(web_dir, "viewer.html"), "rb") as f:
                 self._send(200, f.read())
         elif self.path.startswith("/trajectory.json"):
             body = json.dumps(build_payload()).encode()
             self._send(200, body, "application/json")
         else:
+            # Static files under web/ (index.html, js/*, replay harness) and
+            # the replay dataset under --data. Path-traversal rejected the
+            # same way the reference sanitizes filenames
+            # (measurement_processor.cpp:157-176).
+            rel = self.path.lstrip("/").split("?", 1)[0]
+            roots = [web_dir] + ([DATA_DIR] if DATA_DIR else [])
+            for root in roots:
+                full = os.path.realpath(os.path.join(root, rel))
+                if not full.startswith(os.path.realpath(root) + os.sep):
+                    continue
+                if os.path.isfile(full):
+                    ext = os.path.splitext(full)[1]
+                    with open(full, "rb") as f:
+                        self._send(200, f.read(),
+                                   self.MIME.get(ext, "application/octet-stream"))
+                    return
             self._send(404, b"not found")
 
     def do_POST(self):
@@ -70,17 +106,28 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
 
+def make_server(run_dir: str, port: int = 8080,
+                map_file: str | None = None,
+                data_dir: str | None = None) -> HTTPServer:
+    """Build the viewer HTTPServer (importable for in-process embedding,
+    e.g. the live-viewer tests or a VIOSystem-hosted viewer thread)."""
+    global RUN_DIR, MAP_FILE, DATA_DIR
+    RUN_DIR = run_dir
+    MAP_FILE = map_file
+    DATA_DIR = data_dir
+    return HTTPServer(("0.0.0.0", port), Handler)
+
+
 def main():
-    global RUN_DIR, MAP_FILE
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", required=True, help="logs/<ts> directory")
     ap.add_argument("--map", default=None, help="optional .npy map points")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--data", default=None,
+                    help="replay dataset dir (served for test-replay.html)")
     args = ap.parse_args()
-    RUN_DIR = args.run
-    MAP_FILE = args.map
-    srv = HTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"viewer at http://localhost:{args.port}/  (run dir: {RUN_DIR})")
+    srv = make_server(args.run, args.port, args.map, args.data)
+    print(f"viewer at http://localhost:{args.port}/  (run dir: {args.run})")
     srv.serve_forever()
 
 

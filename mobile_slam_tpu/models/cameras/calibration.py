@@ -16,12 +16,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mobile_slam_tpu.models.cameras import equidistant, mei, pinhole
+from mobile_slam_tpu.models.cameras import equidistant, mei, pinhole, scaramuzza
+from mobile_slam_tpu.utils import rotations as rot
+
+
+def _scaramuzza_project_flat(params: jax.Array, pts: jax.Array) -> jax.Array:
+    """Scaramuzza projection over a FLAT parameter vector so the generic
+    refiner can differentiate it: [inv_poly (INV_POLY_SIZE), cx, cy, c, d, e]
+    (the parameters the reference's Scaramuzza reprojection cost refines,
+    CostFunctionFactory.cc:446-470 SCARAMUZZA branch). The forward poly only
+    enters lifting, not projection, so it is refit afterwards if needed
+    (scaramuzza.fit_inverse_poly's dual)."""
+    q = scaramuzza.INV_POLY_SIZE
+    return scaramuzza.project(
+        {"inv_poly": params[:q], "center": params[q:q + 2],
+         "affine": params[q + 2:q + 5]}, pts)
+
+
+def scaramuzza_flat_params(params: dict) -> np.ndarray:
+    return np.concatenate([np.asarray(params["inv_poly"], np.float64),
+                           np.asarray(params["center"], np.float64),
+                           np.asarray(params["affine"], np.float64)])
+
 
 _PROJECT = {
     "PINHOLE": pinhole.project,
     "KANNALA_BRANDT": equidistant.project,
     "MEI": mei.project,
+    "SCARAMUZZA": _scaramuzza_project_flat,
 }
 
 
@@ -73,6 +95,55 @@ def refine_intrinsics(
             mu = min(mu * 10, 1e6)
     rms_after = float(jnp.sqrt(cost / r0.shape[0]))
     return np.asarray(params), rms_before, rms_after
+
+
+def refine_extrinsics(
+    model_type: str,
+    params: jax.Array,       # fixed intrinsic vector
+    q0: jax.Array,           # (4,) wxyz cam-from-world rotation, initial
+    t0: jax.Array,           # (3,) cam-from-world translation, initial
+    world_pts: jax.Array,    # (N, 3)
+    uv_obs: jax.Array,       # (N, 2)
+    iters: int = 20,
+):
+    """Gauss-Newton refinement of a camera pose with intrinsics held fixed —
+    the reference factory's camera-pose auto-diff costs
+    (CostFunctionFactory.cc generateCostFunction CAMERA_POSE variants,
+    :446-470). Tangent update is quaternion box-plus (the same manifold the
+    VIO solver uses). Returns (q, t, rms_before, rms_after)."""
+    project = _PROJECT[model_type.upper()]
+    params = jnp.asarray(params, jnp.float64)
+    wp = jnp.asarray(world_pts, jnp.float64)
+    uv = jnp.asarray(uv_obs, jnp.float64)
+    q = jnp.asarray(q0, jnp.float64)
+    t = jnp.asarray(t0, jnp.float64)
+
+    def residual(dx, q_lin, t_lin):
+        q_new = rot.quat_boxplus(q_lin, dx[:3])
+        t_new = t_lin + dx[3:]
+        pc = wp @ rot.quat_to_rot(q_new).T + t_new
+        return (project(params, pc) - uv).reshape(-1)
+
+    zero = jnp.zeros(6, jnp.float64)
+    rms_before = float(jnp.sqrt(jnp.mean(residual(zero, q, t) ** 2)))
+    jac_fn = jax.jacfwd(residual, argnums=0)
+    mu = 1e-6
+    cost = float(jnp.sum(residual(zero, q, t) ** 2))
+    for _ in range(iters):
+        r = residual(zero, q, t)
+        J = jac_fn(zero, q, t)
+        H = J.T @ J + mu * jnp.eye(6)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        q_new = rot.quat_boxplus(q, delta[:3])
+        t_new = t + delta[3:]
+        new_cost = float(jnp.sum(residual(zero, q_new, t_new) ** 2))
+        if new_cost < cost:
+            q, t, cost = q_new, t_new, new_cost
+            mu = max(mu / 3, 1e-12)
+        else:
+            mu = min(mu * 10, 1e6)
+    rms_after = float(jnp.sqrt(cost / (2 * wp.shape[0])))
+    return np.asarray(q), np.asarray(t), rms_before, rms_after
 
 
 def calibrate_from_observations(model_type: str, params0, world_pts, uv_obs,

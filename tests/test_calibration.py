@@ -53,3 +53,102 @@ class TestRefineIntrinsics:
         assert rms1 < 1e-3, f"rms {rms0:.2f} -> {rms1:.2e}"
         np.testing.assert_allclose(refined[:4], np.asarray(true[:4]),
                                    atol=0.1)
+
+    def test_mei_recovery(self):
+        from mobile_slam_tpu.models.cameras import mei
+
+        true = mei.make_params(0.9, 350.0, 348.0, 376.0, 240.0,
+                               -0.1, 0.02, 1e-4, -1e-4, dtype=jnp.float64)
+        pts = synthetic_points(seed=3)
+        uv = mei.project(true, jnp.asarray(pts))
+        init = mei.make_params(0.85, 340.0, 340.0, 370.0, 245.0,
+                               0.0, 0.0, 0.0, 0.0, dtype=jnp.float64)
+        refined, rms0, rms1 = refine_intrinsics("MEI", init, pts, uv,
+                                                iters=60)
+        assert rms1 < 1e-2, f"rms {rms0:.2f} -> {rms1:.2e}"
+
+    def test_scaramuzza_recovery(self):
+        """The model the round-1 factory did not cover
+        (CostFunctionFactory.cc:446-470 SCARAMUZZA branch)."""
+        from mobile_slam_tpu.models.cameras import scaramuzza
+        from mobile_slam_tpu.models.cameras.calibration import (
+            scaramuzza_flat_params)
+
+        poly = np.array([-250.0, 0.0, 1.2e-3, 0.0, 6e-9])
+        inv_poly = scaramuzza.fit_inverse_poly(poly, 360.0)
+        true = scaramuzza.make_params(poly, inv_poly, (378.0, 242.0),
+                                      (1.001, 1e-4, -2e-4),
+                                      dtype=jnp.float64)
+        rng = np.random.default_rng(4)
+        theta = rng.uniform(0.1, 1.2, 400)
+        phi = rng.uniform(-np.pi, np.pi, 400)
+        pts = np.stack([np.sin(theta) * np.cos(phi),
+                        np.sin(theta) * np.sin(phi),
+                        np.cos(theta)], -1) * rng.uniform(2, 6, 400)[:, None]
+        uv = scaramuzza.project(true, jnp.asarray(pts))
+        assert np.all(np.isfinite(np.asarray(uv)))
+
+        init_dict = scaramuzza.make_params(
+            poly, inv_poly * rng.uniform(0.97, 1.03, len(inv_poly)),
+            (372.0, 247.0), (1.0, 0.0, 0.0), dtype=jnp.float64)
+        flat0 = scaramuzza_flat_params(init_dict)
+        refined, rms0, rms1 = refine_intrinsics("SCARAMUZZA", flat0, pts, uv,
+                                                iters=60)
+        assert rms1 < 0.05, f"rms {rms0:.2f} -> {rms1:.2e}"
+        q = scaramuzza.INV_POLY_SIZE
+        np.testing.assert_allclose(refined[q:q + 2], [378.0, 242.0],
+                                   atol=0.5)
+
+
+class TestRefineExtrinsics:
+    def test_pose_recovery_pinhole(self):
+        from mobile_slam_tpu.models.cameras.calibration import (
+            refine_extrinsics)
+        from mobile_slam_tpu.utils import rotations as rot
+
+        params = pinhole.make_params(460.0, 458.0, 376.0, 240.0,
+                                     -0.28, 0.07, 1e-4, -2e-4,
+                                     dtype=jnp.float64)
+        rng = np.random.default_rng(5)
+        wp = np.stack([rng.uniform(-2, 2, 200), rng.uniform(-2, 2, 200),
+                       rng.uniform(0, 1, 200)], -1)
+        th = 0.3
+        q_true = np.array([np.cos(th / 2), 0.1, np.sin(th / 2), 0.05])
+        q_true /= np.linalg.norm(q_true)
+        t_true = np.array([0.3, -0.2, 4.0])
+        pc = wp @ np.asarray(rot.quat_to_rot(jnp.asarray(q_true))).T + t_true
+        uv = pinhole.project(params, jnp.asarray(pc))
+
+        q0 = np.array([1.0, 0.0, 0.0, 0.0])
+        t0 = np.array([0.0, 0.0, 3.5])
+        q, t, rms0, rms1 = refine_extrinsics("PINHOLE", params, q0, t0,
+                                             wp, uv, iters=40)
+        assert rms1 < 1e-5, f"rms {rms0:.2f} -> {rms1:.2e}"
+        np.testing.assert_allclose(t, t_true, atol=1e-4)
+        assert abs(abs(np.dot(q, q_true)) - 1.0) < 1e-8
+
+    def test_pose_recovery_fisheye(self):
+        from mobile_slam_tpu.models.cameras.calibration import (
+            refine_extrinsics)
+        from mobile_slam_tpu.utils import rotations as rot
+
+        params = equidistant.make_params(191.0, 190.9, 255.0, 257.0,
+                                         0.0035, 0.0007, -0.002, 0.0002,
+                                         dtype=jnp.float64)
+        rng = np.random.default_rng(6)
+        theta = rng.uniform(0.05, 1.0, 200)
+        phi = rng.uniform(-np.pi, np.pi, 200)
+        pc_true = np.stack([np.sin(theta) * np.cos(phi),
+                            np.sin(theta) * np.sin(phi),
+                            np.cos(theta)], -1) * rng.uniform(2, 6, 200)[:, None]
+        q_true = np.array([0.99, 0.05, -0.08, 0.03])
+        q_true /= np.linalg.norm(q_true)
+        t_true = np.array([-0.1, 0.15, 0.2])
+        R = np.asarray(rot.quat_to_rot(jnp.asarray(q_true)))
+        wp = (pc_true - t_true) @ R  # world points: pc = R wp + t
+        uv = equidistant.project(params, jnp.asarray(pc_true))
+        q, t, rms0, rms1 = refine_extrinsics(
+            "KANNALA_BRANDT", params, np.array([1.0, 0, 0, 0]),
+            np.zeros(3), wp, uv, iters=40)
+        assert rms1 < 1e-5, f"rms {rms0:.2f} -> {rms1:.2e}"
+        np.testing.assert_allclose(t, t_true, atol=1e-4)

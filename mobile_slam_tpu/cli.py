@@ -14,7 +14,7 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print("usage: python -m mobile_slam_tpu.cli <config.yaml> "
-              "[--cpu] [--frames N]", file=sys.stderr)
+              "[--cpu] [--frames=N] [--pipelined]", file=sys.stderr)
         return 2
 
     import jax
@@ -43,7 +43,8 @@ def main(argv=None):
 
     with open(cfg_path) as f:
         blob = f.read()
-    system = VIOSystem(cfg, config_blob=blob)
+    system = VIOSystem(cfg, config_blob=blob,
+                       pipelined="--pipelined" in argv)
     s = system.process_sequence()
     print(f"[cli] {s.poses_recovered}/{s.frames_processed} poses, "
           f"{s.fps:.1f} fps, log: {s.log_dir}", file=sys.stderr)

@@ -321,17 +321,22 @@ class VIOEngine:
         )
 
         self.state, is_kf = self._book(self.state, inp, self.params)
-        fc = int(self.state.frame_count)
-        self.window_ts[min(fc, W - 1)] = frame_ts
-        n_feat = int(np.sum(np.asarray(valid)))
-
-        if self.status == Status.INITIALIZING:
+        self._cur_frame_ts = frame_ts  # tags the pipelined pending entry
+        if self.status == Status.TRACKING:
+            # Window is full while tracking (frame_count pinned at W-1);
+            # skipping the device readback keeps the hot path sync-free.
+            self.window_ts[W - 1] = frame_ts
+            result = self._process_tracking(is_kf)
+            if result.status == Status.TRACKING and not self._pipelined:
+                # In pipelined mode this readback would block on the
+                # in-flight frame; diag.last_track_num already covers it.
+                result = result._replace(
+                    num_features=int(np.sum(np.asarray(valid))))
+        else:
+            fc = int(self.state.frame_count)
+            self.window_ts[min(fc, W - 1)] = frame_ts
             result = self._process_initializing(inp, is_kf, frame_ts,
                                                 ids, obs, dts, accs, gyrs)
-        else:
-            result = self._process_tracking(is_kf)
-        if result.status == Status.TRACKING:
-            result = result._replace(num_features=n_feat)
 
         self._last_frame_ts = frame_ts
         self.frame_index += 1
@@ -489,7 +494,9 @@ class VIOEngine:
 
         self._consecutive_failures = 0
         self.status = Status.TRACKING
-        self._banned_ids = diag.culled_ids
+        # (outlier-ban feedback was already applied at dispatch time in
+        # _process_tracking — re-applying here would regress it by one
+        # frame in pipelined mode)
 
         # Camera pose output (vio_engine.cpp:293-305).
         r_wb = np.asarray(rot.quat_to_rot(jnp.asarray(q_np)))
@@ -501,7 +508,7 @@ class VIOEngine:
         self._last_pose = pose
         n_feat = int(diag.last_track_num)
         return FrameResult(True, pose, Status.TRACKING, n_feat,
-                           bool(diag.is_keyframe))
+                           bool(diag.is_keyframe), ts=ts)
 
     # ------------------------------------------------------------------
     # Introspection (vio_engine.cpp:313-352)

@@ -51,12 +51,16 @@ class VIOSystem:
     IMU_WINDOW_S = 5.0  # IMUGraphVisualizer analog (imu_graph_visualizer.cpp:33-43)
 
     def __init__(self, cfg: VIOConfig, dataset_root: str | None = None,
-                 log_root: str = "logs", config_blob: str | None = None):
+                 log_root: str = "logs", config_blob: str | None = None,
+                 pipelined: bool = False):
         self.cfg = cfg
         self.dataset = EurocDataset(dataset_root or cfg.dataset_path)
         self.engine = VIOEngine(cfg)
         self.logger = ResultLogger(log_root, config_blob)
         self._imu_window: list[tuple] = []
+        # One-frame-lag streaming (device-time-bound push calls; poses come
+        # back tagged with res.ts). Enabled once tracking starts.
+        self.pipelined = pipelined
 
     def _write_live(self, status: Status, frames: int, poses: int) -> None:
         import json
@@ -110,17 +114,23 @@ class VIOSystem:
                 self._imu_window.pop(0)
             img = ds.read_image(idx)
             res = self.engine.process_frame(img, ts)
+            if (self.pipelined and not self.engine._pipelined
+                    and res.status == Status.TRACKING):
+                self.engine.enable_pipelined_streaming(True)
             frames += 1
             if res.ok and res.pose is not None:
                 poses += 1
                 # Log the CAMERA pose in TUM format, like the reference
                 # (TestResultLogger; the evaluator transforms back to body).
+                # In pipelined mode the pose belongs to res.ts (one frame
+                # behind the call).
+                pose_ts = res.ts if res.ts is not None else ts
                 p_cam = res.pose[:3, 3]
                 q_cam = np.asarray(
                     rot.rot_to_quat(jnp.asarray(res.pose[:3, :3]))
                 )
-                self.logger.add_pose(ts, p_cam, q_cam)
-                est_ts.append(ts)
+                self.logger.add_pose(pose_ts, p_cam, q_cam)
+                est_ts.append(pose_ts)
                 est_p.append(p_cam)
                 est_q.append(res.pose[:3, :3].copy())
             if progress_every and frames % progress_every == 0:
@@ -128,6 +138,15 @@ class VIOSystem:
                       f"poses={poses}", file=sys.stderr)
             if frames % self.LIVE_EVERY == 0:
                 self._write_live(res.status, frames, poses)
+
+        tail = self.engine.flush()
+        if tail is not None and tail.ok and tail.pose is not None:
+            poses += 1
+            q_cam = np.asarray(rot.rot_to_quat(jnp.asarray(tail.pose[:3, :3])))
+            self.logger.add_pose(tail.ts, tail.pose[:3, 3], q_cam)
+            est_ts.append(tail.ts)
+            est_p.append(tail.pose[:3, 3])
+            est_q.append(tail.pose[:3, :3].copy())
 
         wall = time.time() - t_wall
         summary = RunSummary(

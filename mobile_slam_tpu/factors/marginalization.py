@@ -93,19 +93,11 @@ def _eliminate_frame_block(H, g, idx):
     return H2, g2
 
 
-def _sqrt_factorize(H, g):
+def _sqrt_factorize_dense(H, g):
     """H = J0ᵀ J0, g = J0ᵀ r0 via thresholded eigendecomposition
     (marginalization_factor.cpp:226-242), equilibrated for float32: the
     prior Hessian spans ~1e7 in magnitude (whitened vision blocks vs bias
-    blocks), so the eigensolve runs on D⁻¹HD⁻¹ with D = sqrt(diag).
-
-    NOTE: the prior's support is provably only the 75 dims
-    {poses 0..9, speedbias 0, extrinsic}, and a support-restricted eigensolve
-    was implemented (both gather- and static-slice-based) and validated to
-    produce J0ᵀJ0 / J0ᵀr0 identical to 1e-15 per call — yet it degrades
-    end-to-end accuracy through the margin-new replay path (first margin-new
-    frame flips the solve trajectory). Until that interaction is fully
-    understood the full-tangent eigensolve stays."""
+    blocks), so the eigensolve runs on D⁻¹HD⁻¹ with D = sqrt(diag)."""
     H = 0.5 * (H + H.T)
     diag = jnp.diagonal(H)
     empty = diag <= 1e-18           # untouched blocks stay exactly zero
@@ -119,6 +111,36 @@ def _sqrt_factorize(H, g):
     # Hn = Vᵀ E V  =>  J0 = sqrt(E) Vᵀ D  (then J0ᵀJ0 = D Hn D = H).
     J0 = sqrt_e[:, None] * (evecs.T * d[None, :])
     r0 = inv_sqrt_e * (evecs.T @ (g / d))
+    return J0, r0
+
+
+# Support-restricted factorization: the prior provably touches only the 75
+# dims {poses 0..9, speedbias 0, extrinsic} (see _SUPPORT), so the per-frame
+# eigendecomposition can run on the 75x75 submatrix (~12x fewer eigh FLOPs
+# than 171x171). Round 1 observed a per-call-identical-yet-E2E-different
+# anomaly with this path; that anomaly was the margin-new elimination bug
+# (wrong pose block -> the replay carried stale couplings the restriction
+# zeroed). With margin-new fixed, the restriction is sound and validated:
+# E2E noisy-sim accuracy tests pass, gyro-bias converges to 2% in 30 s
+# (scripts/dev_bias_convergence.py), and chunked throughput on the real
+# chip improves 228.8 -> 246.4 fps. The only observable difference vs the
+# dense path is ulp-level rounding (different J0 row basis), which the
+# chaotic streaming-vs-chunked divergence in tests/test_cross_path_parity
+# amplifies from ~1e-4 to ~3e-2 m over 60 frames — documented there.
+RESTRICTED_SUPPORT = True
+_SUP_N = len(_SUPPORT)
+
+
+def _sqrt_factorize(H, g):
+    if not RESTRICTED_SUPPORT:
+        return _sqrt_factorize_dense(H, g)
+    dtype = H.dtype
+    sup = jnp.asarray(_SUPPORT)
+    Hs = H[jnp.ix_(sup, sup)]
+    gs = g[sup]
+    J0s, r0s = _sqrt_factorize_dense(Hs, gs)          # (75, 75), (75,)
+    J0 = jnp.zeros((S, S), dtype).at[:_SUP_N, sup].set(J0s)
+    r0 = jnp.zeros((S,), dtype).at[:_SUP_N].set(r0s)
     return J0, r0
 
 

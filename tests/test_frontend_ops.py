@@ -252,7 +252,13 @@ class TestFullTracker:
         cam64 = make_camera(cam_cfg, dtype=jnp.float64)
         cam32 = make_camera(cam_cfg, dtype=jnp.float32)
         cfg = TrackerConfig(max_cnt=80, min_dist=16, max_points=96)
-        scfg = sim.SimConfig(duration=1.5, cam_rate=10.0, imu_rate=100.0,
+        # 20 fps: at 10 fps this trajectory's inter-frame motion is 20-60 px,
+        # beyond pyramidal-LK capture range on small synthetic sprites (which
+        # have no coarse-scale structure for the top pyramid levels to lock
+        # onto) — the forward-backward check then rightly culls the failures
+        # and track counts collapse. Real feeds at the reference's rates move
+        # ~5-20 px/frame, which is what this asserts against.
+        scfg = sim.SimConfig(duration=1.5, cam_rate=20.0, imu_rate=100.0,
                              num_landmarks=400, max_features=80, seed=11)
         r_ic = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
         t_ic = np.zeros(3)

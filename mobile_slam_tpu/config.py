@@ -105,6 +105,10 @@ class TrackerConfig:
     anchor_iters: int = 8
     anchor_max_shift: float = 2.0   # px search radius around the LK estimate
     anchor_resid: float = 14.0      # mean |zero-mean diff| re-anchor gate
+    # LK/anchor kernel implementation: None = auto (Pallas on TPU, where
+    # XLA's gather-based formulation serializes to ~400 ms/frame; plain XLA
+    # on CPU). True/False force it.
+    use_pallas: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

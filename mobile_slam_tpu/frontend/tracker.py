@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from mobile_slam_tpu.config import TrackerConfig
 from mobile_slam_tpu.models.cameras.base import Camera
 from mobile_slam_tpu.ops import clahe as clahe_op
-from mobile_slam_tpu.ops import corners, image as im, lk, ransac
+from mobile_slam_tpu.ops import corners, image as im, lk, lk_pallas, ransac
 
 
 class TrackerState(NamedTuple):
@@ -138,15 +138,26 @@ def detect_and_track(
         img = clahe_op.clahe(img, clip_limit=3.0, tiles=8)
     pyr = tuple(im.build_pyramid(img, cfg.lk_pyramid_levels))
 
+    # Kernel dispatch: the Pallas kernel replaces XLA's serialized element
+    # gathers with VMEM dynamic slices (~100x on TPU, ops/lk_pallas.py);
+    # CPU keeps the pure-XLA path (Pallas-CPU is interpret-only).
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    lk_track = lk_pallas.track_pyramidal if use_pallas else (
+        lambda p0, p1, pts, act, prm: lk.track_pyramidal(
+            list(p0), list(p1), pts, act, prm))
+    lk_refine = (lk_pallas.refine_template if use_pallas
+                 else lk.refine_template)
+
     # --- LK tracking of existing points -------------------------------
     params = lk.LKParams(
         window=cfg.lk_window_size, levels=cfg.lk_pyramid_levels,
         iters=cfg.lk_iterations, eps=cfg.lk_eps,
     )
     can_track = state.active & state.has_prev
-    new_pts, ok = lk.track_pyramidal(
-        list(state.pyr), list(pyr), state.pts, can_track, params
-    )
+    new_pts, ok = lk_track(tuple(state.pyr), pyr, state.pts, can_track,
+                           params)
     border = 1  # inBorder check (:138-147)
     inside = (
         (new_pts[:, 0] >= border) & (new_pts[:, 0] < w - border)
@@ -159,9 +170,8 @@ def detect_and_track(
     # its origin. Culls occlusion/aperture drifts that pass the min-eig
     # health check (the reference relies on F-RANSAC alone here).
     if cfg.fb_check:
-        back_pts, ok_b = lk.track_pyramidal(
-            list(pyr), list(state.pyr), new_pts, active, params
-        )
+        back_pts, ok_b = lk_track(pyr, tuple(state.pyr), new_pts, active,
+                                  params)
         fb2 = jnp.sum((back_pts - state.pts) ** 2, axis=-1)
         active = active & ok_b & (fb2 <= cfg.fb_max_err ** 2)
 
@@ -171,7 +181,7 @@ def detect_and_track(
     # genuinely changed (viewpoint/scale) rather than fight it.
     reanchor = jnp.zeros((K,), bool)
     if cfg.anchor_refine:
-        ref_pos, ok_r, resid = lk.refine_template(
+        ref_pos, ok_r, resid = lk_refine(
             img, state.anchor_tp, state.anchor_gx, state.anchor_gy,
             new_pts, active, cfg.lk_window_size, cfg.anchor_iters,
             cfg.lk_eps, cfg.anchor_max_shift,

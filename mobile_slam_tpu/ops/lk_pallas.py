@@ -1,0 +1,443 @@
+"""Pallas TPU kernel for pyramidal Lucas-Kanade tracking.
+
+The XLA formulation in ops/lk.py expresses patch sampling as (K, win*win)
+element gathers inside a 30-iteration fori_loop per pyramid level; TPU has
+no vector gather, so XLA lowers those to serialized element loads —
+measured 395 ms per 512x512 frame for K=192 (scripts/dev_stage_timing.py),
+~92% of the image-path frame time once doubled by the forward-backward
+pass. This kernel keeps every pyramid level resident in VMEM and replaces
+gathers with block loads:
+
+  * Mosaic only allows dynamic block offsets that are 8-aligned in the
+    sublane dim and 128-aligned in the lane dim, so a patch block is
+    fetched as 32 full-width rows at the 8-aligned floor (pl.multiple_of),
+    then aligned exactly with two dynamic pltpu.roll rotations and a
+    static slice,
+  * bilinear interpolation = 4 statically-shifted (win, win) sub-blocks
+    weighted by the scalar fractional part,
+  * template Scharr gradients are computed on the template block itself —
+    Scharr and bilinear shift are both linear & shift-invariant, so
+    sample(scharr(img)) == scharr_on_block(sample-region) away from image
+    borders,
+  * the KLT normal equations are (win, win) vector reductions, the 2x2
+    solve is scalar math, and each point early-exits its iteration loop on
+    convergence (a scalar while_loop; OpenCV's TermCriteria::EPS).
+
+Semantics match ops/lk.py (same iteration budget, eps, min-eig health
+check) including at image borders: each level is replicate-padded by
+half+2 px before entering the kernel, which reproduces ops/lk.py's
+per-pixel border clamp for any window within the padding (the same trick
+cv::buildOpticalFlowPyramid uses). Estimates that wander further than
+the padding read an origin-clamped block and are culled by the final
+inside check; see tests/test_lk_pallas.py.
+
+Reference behavior: cv::calcOpticalFlowPyrLK as used by
+/root/reference/src/frontend/feature_tracker.cpp:130-136.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mobile_slam_tpu.ops.lk import LKParams
+
+_INTERPRET = False  # flipped by tests to run the kernel on CPU
+
+_ROWS = 32  # fetched rows: block height (<= 24) + sublane remainder (< 8)
+
+
+def _roll(x, shift, axis):
+    # pltpu.roll lowers to tpu.dynamic_rotate; interpret mode lacks it.
+    if _INTERPRET:
+        return jnp.roll(x, shift, axis)
+    return pltpu.roll(x, shift, axis)
+
+
+def _load_block(ref, by, bx, rows, cols, h, w):
+    """(rows, cols) block of ref at dynamic origin (by, bx).
+
+    by must be pre-clamped to [0, h - rows], bx to [0, w - cols];
+    requires h >= _ROWS (every pyramid level here is >= 64).
+
+    Mosaic only allows dynamic sublane offsets it can prove 8-aligned and
+    no unaligned dynamic lane offsets at all, so: fetch 32 full-width rows
+    at the 8-aligned floor, rotate the remainder with a dynamic sublane
+    roll, and select the lane window with a one-hot MXU matmul (a dynamic
+    LANE rotate exists but miscompiles for widths > 256 on this toolchain
+    — verified empirically; the matmul is exact for any width)."""
+    wpad = ref.shape[1]
+    by8 = jnp.minimum(8 * (by // 8), h - _ROWS)
+    sub = by - by8
+    blk = ref[pl.ds(pl.multiple_of(by8, 8), _ROWS), :]
+    blk = _roll(blk, -sub, axis=0)
+    src = jax.lax.broadcasted_iota(jnp.int32, (wpad, cols), 0)
+    tgt = jax.lax.broadcasted_iota(jnp.int32, (wpad, cols), 1)
+    sel = (src == bx + tgt).astype(blk.dtype)
+    # precision=HIGHEST: the default bf16 MXU pass loses ~1e-3 even though
+    # each output is exactly one input times 1.0; HIGHEST makes the
+    # selection bit-exact (verified in tests/test_lk_pallas.py).
+    blk = jax.lax.dot_general(
+        blk, sel, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return blk[:rows]
+
+
+def _bilinear_block(block, fx, fy, win):
+    """(win, win) bilinear patch from a block whose [0:win+1, 0:win+1]
+    region covers the patch support; fx/fy are scalar fractions."""
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w01 = fx * (1.0 - fy)
+    w10 = (1.0 - fx) * fy
+    w11 = fx * fy
+    return (w00 * block[0:win, 0:win]
+            + w01 * block[0:win, 1:win + 1]
+            + w10 * block[1:win + 1, 0:win]
+            + w11 * block[1:win + 1, 1:win + 1])
+
+
+def _scharr_on_block(tb, n):
+    """Scharr x/y derivatives of the interior (n, n) region of an
+    (n+2, n+2) block (image.scharr_derivatives semantics, /32 scale)."""
+    right = (3.0 * tb[0:n, 2:n + 2] + 10.0 * tb[1:n + 1, 2:n + 2]
+             + 3.0 * tb[2:n + 2, 2:n + 2])
+    left = (3.0 * tb[0:n, 0:n] + 10.0 * tb[1:n + 1, 0:n]
+            + 3.0 * tb[2:n + 2, 0:n])
+    bot = (3.0 * tb[2:n + 2, 0:n] + 10.0 * tb[2:n + 2, 1:n + 1]
+           + 3.0 * tb[2:n + 2, 2:n + 2])
+    top = (3.0 * tb[0:n, 0:n] + 10.0 * tb[0:n, 1:n + 1]
+           + 3.0 * tb[0:n, 2:n + 2])
+    return (right - left) / 32.0, (bot - top) / 32.0
+
+
+def _lk_kernel(pts_ref, active_ref, *refs, params: LKParams, shapes,
+               pad, out_x_ref, out_y_ref, out_ok_ref):
+    """One program: fori over the K point slots, unrolled over levels.
+    shapes are LOGICAL level shapes; every image ref is replicate-padded
+    by `pad` on all four sides (plus zero lane padding to >= 128)."""
+    n_lvl = len(shapes)
+    prev_refs = refs[:n_lvl]
+    next_refs = refs[n_lvl:]
+    win = params.window
+    half = (win - 1) // 2
+    win2 = float(win * win)
+    eps2 = params.eps * params.eps
+    k_slots = out_x_ref.shape[0]
+
+    def one_point(k, _):
+        px = pts_ref[k, 0]
+        py = pts_ref[k, 1]
+        is_active = active_ref[k] != 0
+
+        @pl.when(jnp.logical_not(is_active))
+        def _():
+            out_x_ref[k, 0] = px
+            out_y_ref[k, 0] = py
+            out_ok_ref[k, 0] = 0
+
+        @pl.when(is_active)
+        def _():
+            top_scale = jnp.float32(2.0 ** (n_lvl - 1))
+            carry = (px / top_scale, py / top_scale, jnp.asarray(True))
+            for lvl in range(n_lvl - 1, -1, -1):
+                h, w = shapes[lvl]
+                hp, wp = h + 2 * pad, w + 2 * pad
+                scale = jnp.float32(2.0 ** lvl)
+                tx = px / scale
+                ty = py / scale
+
+                # Template block: (win+3, win+3) so Scharr's 1-px apron
+                # and bilinear's +1 both fit; origin in PADDED coords.
+                tbx = jnp.clip(
+                    jnp.floor(tx).astype(jnp.int32) - half - 1 + pad,
+                    0, wp - (win + 3))
+                tby = jnp.clip(
+                    jnp.floor(ty).astype(jnp.int32) - half - 1 + pad,
+                    0, hp - (win + 3))
+                ftx = tx - jnp.floor(tx)
+                fty = ty - jnp.floor(ty)
+                tb = _load_block(prev_refs[lvl], tby, tbx,
+                                 win + 3, win + 3, hp, wp)
+                gxb, gyb = _scharr_on_block(tb, win + 1)  # (win+1, win+1)
+                t_patch = _bilinear_block(tb[1:win + 2, 1:win + 2],
+                                          ftx, fty, win)
+                g_x = _bilinear_block(gxb, ftx, fty, win)
+                g_y = _bilinear_block(gyb, ftx, fty, win)
+
+                gxx = jnp.sum(g_x * g_x)
+                gxy = jnp.sum(g_x * g_y)
+                gyy = jnp.sum(g_y * g_y)
+                det = gxx * gyy - gxy * gxy
+                tr = gxx + gyy
+                min_eig = 0.5 * (tr - jnp.sqrt(
+                    jnp.maximum(tr * tr - 4.0 * det, 0.0))) / win2
+                invertible = min_eig > params.min_eig_threshold
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+                cx, cy, ok_in = carry
+
+                def cond(c):
+                    it, _, _, conv = c
+                    return (it < params.iters) & jnp.logical_not(conv)
+
+                def iter_body(c):
+                    it, ix_, iy_, conv = c
+                    nbx = jnp.clip(
+                        jnp.floor(ix_).astype(jnp.int32) - half + pad,
+                        0, wp - (win + 1))
+                    nby = jnp.clip(
+                        jnp.floor(iy_).astype(jnp.int32) - half + pad,
+                        0, hp - (win + 1))
+                    nb = _load_block(next_refs[lvl], nby, nbx,
+                                     win + 1, win + 1, hp, wp)
+                    c_patch = _bilinear_block(nb, ix_ - jnp.floor(ix_),
+                                              iy_ - jnp.floor(iy_), win)
+                    diff = c_patch - t_patch
+                    b1 = jnp.sum(diff * g_x)
+                    b2 = jnp.sum(diff * g_y)
+                    dx = -(gyy * b1 - gxy * b2) * inv_det
+                    dy = -(gxx * b2 - gxy * b1) * inv_det
+                    conv = dx * dx + dy * dy <= eps2
+                    return it + 1, ix_ + dx, iy_ + dy, conv
+
+                cx, cy = jax.lax.cond(
+                    invertible,
+                    lambda a, b: jax.lax.while_loop(
+                        cond, iter_body,
+                        (jnp.int32(0), a, b, jnp.asarray(False)))[1:3],
+                    lambda a, b: (a, b),
+                    cx, cy)
+                ok_in = ok_in & invertible
+                if lvl > 0:
+                    cx = cx * 2.0
+                    cy = cy * 2.0
+                carry = (cx, cy, ok_in)
+
+            cx, cy, ok_in = carry
+            h0, w0 = shapes[0]
+            inside = ((cx >= 0.0) & (cx < w0 - 1.0)
+                      & (cy >= 0.0) & (cy < h0 - 1.0))
+            finite = jnp.isfinite(cx) & jnp.isfinite(cy)
+            out_x_ref[k, 0] = cx
+            out_y_ref[k, 0] = cy
+            out_ok_ref[k, 0] = (ok_in & inside & finite).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, k_slots, one_point, 0)
+
+
+def track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
+                    params: LKParams):
+    """Drop-in for ops.lk.track_pyramidal on TPU. prev_pyr/next_pyr are
+    (H/2^l, W/2^l) float32 images; prev_pts (K, 2); active (K,)."""
+    k_slots = prev_pts.shape[0]
+    shapes = tuple(im.shape for im in prev_pyr)
+    f32 = jnp.float32
+
+    half = (params.window - 1) // 2
+    pad = half + 2  # covers the window + bilinear +1 + Scharr apron
+
+    def _pad_img(p):
+        # Replicate padding == ops/lk.py's per-pixel border clamp for any
+        # window within `pad` of the border (cv::buildOpticalFlowPyramid
+        # does the same). Lane dim is then zero-padded to >= 128 for
+        # Mosaic's vector ops; the zeros are never read (origin clamps
+        # stay within the replicate-padded region).
+        p = jnp.pad(p, pad, mode="edge")
+        w = p.shape[1]
+        if w < 128:
+            p = jnp.pad(p, ((0, 0), (0, 128 - w)))
+        return p
+
+    prev_pyr = [_pad_img(p) for p in prev_pyr]
+    next_pyr = [_pad_img(p) for p in next_pyr]
+
+    kernel = functools.partial(_lk_kernel, params=params, shapes=shapes,
+                               pad=pad)
+
+    def wrapped(pts_ref, active_ref, *rest):
+        *imgs, ox, oy, ook = rest
+        kernel(pts_ref, active_ref, *imgs,
+               out_x_ref=ox, out_y_ref=oy, out_ok_ref=ook)
+
+    out_x, out_y, out_ok = pl.pallas_call(
+        wrapped,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_slots, 1), f32),
+            jax.ShapeDtypeStruct((k_slots, 1), f32),
+            jax.ShapeDtypeStruct((k_slots, 1), jnp.int32),
+        ),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * len(prev_pyr))
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(prev_pts.astype(f32), active.astype(jnp.int32),
+      *[p.astype(f32) for p in prev_pyr],
+      *[p.astype(f32) for p in next_pyr])
+
+    pos = jnp.concatenate([out_x, out_y], axis=1)
+    return pos, out_ok[:, 0] != 0
+
+
+def _refine_kernel(pts_ref, active_ref, img_ref, t_ref, gx_ref, gy_ref,
+                   out_x_ref, out_y_ref, out_ok_ref, out_res_ref, *,
+                   window, iters, eps, max_shift, shape, pad):
+    """Anchor-template refinement (ops.lk.refine_template) as a kernel:
+    explicit (K, win, win) templates, zero-mean matching, excursion clamp.
+    img_ref is replicate-padded by `pad`; shape is the LOGICAL shape."""
+    h, w = shape
+    hp, wp = h + 2 * pad, w + 2 * pad
+    win = window
+    half = (win - 1) // 2
+    win2 = float(win * win)
+    eps2 = eps * eps
+    k_slots = out_x_ref.shape[0]
+
+    def one_point(k, _):
+        x0 = pts_ref[k, 0]
+        y0 = pts_ref[k, 1]
+        is_active = active_ref[k] != 0
+
+        @pl.when(jnp.logical_not(is_active))
+        def _():
+            out_x_ref[k, 0] = x0
+            out_y_ref[k, 0] = y0
+            out_ok_ref[k, 0] = 0
+            out_res_ref[k, 0] = 0.0
+
+        @pl.when(is_active)
+        def _():
+            t_patch = t_ref[k]
+            g_x = gx_ref[k]
+            g_y = gy_ref[k]
+            t_zm = t_patch - jnp.sum(t_patch) / win2
+
+            gxx = jnp.sum(g_x * g_x)
+            gxy = jnp.sum(g_x * g_y)
+            gyy = jnp.sum(g_y * g_y)
+            det = gxx * gyy - gxy * gxy
+            tr = gxx + gyy
+            min_eig = 0.5 * (tr - jnp.sqrt(
+                jnp.maximum(tr * tr - 4.0 * det, 0.0))) / win2
+            invertible = min_eig > 1e-4
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+            def sample(ix_, iy_):
+                bx = jnp.clip(jnp.floor(ix_).astype(jnp.int32) - half + pad,
+                              0, wp - (win + 1))
+                by = jnp.clip(jnp.floor(iy_).astype(jnp.int32) - half + pad,
+                              0, hp - (win + 1))
+                nb = _load_block(img_ref, by, bx, win + 1, win + 1, hp, wp)
+                return _bilinear_block(nb, ix_ - jnp.floor(ix_),
+                                      iy_ - jnp.floor(iy_), win)
+
+            def cond(c):
+                it, _, _, conv = c
+                return (it < iters) & jnp.logical_not(conv)
+
+            def iter_body(c):
+                it, ix_, iy_, conv = c
+                c_patch = sample(ix_, iy_)
+                c_zm = c_patch - jnp.sum(c_patch) / win2
+                diff = c_zm - t_zm
+                b1 = jnp.sum(diff * g_x)
+                b2 = jnp.sum(diff * g_y)
+                dx = -(gyy * b1 - gxy * b2) * inv_det
+                dy = -(gxx * b2 - gxy * b1) * inv_det
+                nx, ny = ix_ + dx, iy_ + dy
+                # Clamp total excursion from the starting estimate.
+                ox_, oy_ = nx - x0, ny - y0
+                r = jnp.sqrt(ox_ * ox_ + oy_ * oy_)
+                s = jnp.where(r > max_shift,
+                              max_shift / jnp.maximum(r, 1e-9), 1.0)
+                conv = dx * dx + dy * dy <= eps2
+                return it + 1, x0 + ox_ * s, y0 + oy_ * s, conv
+
+            cx, cy = jax.lax.cond(
+                invertible,
+                lambda a, b: jax.lax.while_loop(
+                    cond, iter_body,
+                    (jnp.int32(0), a, b, jnp.asarray(False)))[1:3],
+                lambda a, b: (a, b),
+                x0, y0)
+
+            c_patch = sample(cx, cy)
+            c_zm = c_patch - jnp.sum(c_patch) / win2
+            resid = jnp.sum(jnp.abs(c_zm - t_zm)) / win2
+            inside = ((cx >= 0.0) & (cx < w - 1.0)
+                      & (cy >= 0.0) & (cy < h - 1.0))
+            finite = jnp.isfinite(cx) & jnp.isfinite(cy)
+            out_x_ref[k, 0] = cx
+            out_y_ref[k, 0] = cy
+            out_ok_ref[k, 0] = (invertible & inside
+                                & finite).astype(jnp.int32)
+            out_res_ref[k, 0] = resid
+
+        return 0
+
+    jax.lax.fori_loop(0, k_slots, one_point, 0)
+
+
+def refine_template(img, t_patch, gx, gy, pos0, active, window, iters, eps,
+                    max_shift):
+    """Drop-in for ops.lk.refine_template on TPU. t_patch/gx/gy are
+    (K, window*window) as stored in TrackerState."""
+    k_slots = pos0.shape[0]
+    f32 = jnp.float32
+    t3 = t_patch.reshape(k_slots, window, window).astype(f32)
+    gx3 = gx.reshape(k_slots, window, window).astype(f32)
+    gy3 = gy.reshape(k_slots, window, window).astype(f32)
+
+    half = (window - 1) // 2
+    pad = half + 2
+    kernel = functools.partial(
+        _refine_kernel, window=window, iters=iters, eps=float(eps),
+        max_shift=float(max_shift), shape=img.shape, pad=pad)
+
+    def wrapped(pts_ref, active_ref, img_ref, t_ref, gx_ref, gy_ref,
+                ox, oy, ook, ores):
+        kernel(pts_ref, active_ref, img_ref, t_ref, gx_ref, gy_ref,
+               out_x_ref=ox, out_y_ref=oy, out_ok_ref=ook,
+               out_res_ref=ores)
+
+    out_x, out_y, out_ok, out_res = pl.pallas_call(
+        wrapped,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_slots, 1), f32),
+            jax.ShapeDtypeStruct((k_slots, 1), f32),
+            jax.ShapeDtypeStruct((k_slots, 1), jnp.int32),
+            jax.ShapeDtypeStruct((k_slots, 1), f32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(pos0.astype(f32), active.astype(jnp.int32),
+      jnp.pad(img.astype(f32), pad, mode="edge"), t3, gx3, gy3)
+
+    pos = jnp.concatenate([out_x, out_y], axis=1)
+    return pos, out_ok[:, 0] != 0, out_res[:, 0]

@@ -132,20 +132,56 @@ def main():
 
     pts, act = tstate.pts, tstate.active
 
+    from mobile_slam_tpu.ops import lk_pallas
+
+    lkp_fn = jax.jit(lambda p0, p1, p, m: lk_pallas.track_pyramidal(
+        p0, p1, p, m, params))
+    anchorp_fn = jax.jit(lambda x, st, p, m: lk_pallas.refine_template(
+        x, st.anchor_tp, st.anchor_gx, st.anchor_gy, p, m,
+        tcfg.lk_window_size, tcfg.anchor_iters, tcfg.lk_eps,
+        tcfg.anchor_max_shift))
+
     print("\n--- frontend stages (one 512x512 frame) ---")
     t_clahe = timed("clahe", eq, img)
     t_pyr = timed("build_pyramid(3)", pyr_fn, img_eq)
-    t_lk = timed("LK forward (pyramidal)", lk_fn, tuple(tstate.pyr), pyr,
+    t_lk = timed("LK fwd (pallas)", lkp_fn, tuple(tstate.pyr), pyr,
                  pts, act)
-    t_fb = timed("LK backward (fb check)", lk_fn, pyr, tuple(tstate.pyr),
+    t_fb = timed("LK bwd (pallas)", lkp_fn, pyr, tuple(tstate.pyr),
                  pts, act)
-    t_anchor = timed("anchor refine_template", anchor_fn, img_eq, tstate,
+    t_anchor = timed("anchor refine (pallas)", anchorp_fn, img_eq, tstate,
                      pts, act)
     t_shi = timed("Shi-Tomasi (resp+suppr+grid)", shi_fn, img_eq, pts, act)
     t_ransac = timed("F-RANSAC + edge_recovery", ransac_fn, pts,
                      pts + 1.0, act, key)
     t_full = timed("detect_and_track (full)", full_fn, tstate, img, ts_dev,
                    key)
+    if "--xla-lk" in sys.argv:
+        timed("LK fwd (xla gathers)", lk_fn, tuple(tstate.pyr), pyr,
+              pts, act)
+        timed("anchor refine (xla)", anchor_fn, img_eq, tstate, pts, act)
+
+    # Sub-part probes for the remaining image-wide stages.
+    print("\n--- sub-parts ---")
+    timed("sobel+box (structure tensor)", jax.jit(corners.min_eig_response),
+          img_eq)
+    timed("occupancy reduce_window 41x41",
+          jax.jit(lambda r, p, m: corners.occupancy_suppression(
+              r, p, m, tcfg.min_dist)), img_eq, pts, act)
+    resp = jax.jit(corners.min_eig_response)(img_eq)
+    timed("NMS reduce_window + top_k",
+          jax.jit(lambda r: corners.detect_grid(
+              r, tcfg.min_dist, tcfg.max_points, tcfg.quality_level)), resp)
+    timed("top_k alone",
+          jax.jit(lambda r: jax.lax.top_k(r.reshape(-1),
+                                          tcfg.max_points)), resp)
+    xi = jnp.round(jnp.clip(img, 0, 255)).astype(jnp.int32)
+    timed("clahe hist (one-hot sum)",
+          jax.jit(lambda v: jnp.sum(jax.nn.one_hot(
+              v.reshape(64, 64 * 64), 256, dtype=jnp.float32), axis=1)), xi)
+    lut_d = jnp.zeros((8, 8, 256), jnp.float32)
+    y0 = jnp.clip(jnp.arange(512) // 64, 0, 7)
+    timed("clahe LUT 4x gather",
+          jax.jit(lambda l, v: l[y0[:, None], y0[None, :], v]), lut_d, xi)
 
     print("\n--- estimator (one frame, window=11) ---")
     is_kf = jnp.asarray(True)

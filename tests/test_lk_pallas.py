@@ -1,0 +1,137 @@
+"""Pallas LK kernel vs the pure-XLA reference implementation.
+
+The kernel (ops/lk_pallas.py) must be a drop-in for ops/lk.py: same
+coarse-to-fine KLT, same health checks, same border behavior (its
+replicate padding reproduces ops/lk.py's per-pixel clamp). On CPU the
+kernel runs in Pallas interpret mode — slow, so shapes here are tiny; the
+real-chip parity/throughput checks live in scripts/dev_stage_timing.py
+and the bench.
+
+Reference behavior: cv::calcOpticalFlowPyrLK
+(/root/reference/src/frontend/feature_tracker.cpp:130-136).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobile_slam_tpu.ops import image as im, lk, lk_pallas
+
+H, W = 64, 96
+SEED = 3
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    lk_pallas._INTERPRET = True
+    yield
+    lk_pallas._INTERPRET = False
+
+
+def _texture(rs, h=H, w=W):
+    """Band-limited random texture (smooth enough for KLT convergence)."""
+    base = rs.rand(h // 4 + 2, w // 4 + 2).astype(np.float32) * 255.0
+    img = jnp.asarray(base)
+    up = jax.image.resize(img, (h, w), "cubic")
+    return np.asarray(up)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rs = np.random.RandomState(SEED)
+    img0 = _texture(rs)
+    # Known sub-pixel shift via XLA bilinear resample of the same texture.
+    dx, dy = 1.7, -1.2
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    coords = jnp.asarray(np.stack([xx + dx, yy + dy], -1))
+    img1 = np.asarray(im.bilinear_sample(jnp.asarray(img0), coords))
+    p0 = jax.jit(lambda x: tuple(im.build_pyramid(x, 1)))(
+        jnp.asarray(img0, jnp.float32))
+    p1 = jax.jit(lambda x: tuple(im.build_pyramid(x, 1)))(
+        jnp.asarray(img1, jnp.float32))
+    return img0, img1, p0, p1, (dx, dy)
+
+
+PARAMS = lk.LKParams(window=21, levels=1, iters=12, eps=0.005)
+
+
+def _points():
+    """Interior + deliberately-near-border points, plus a dead slot."""
+    pts = np.array([
+        [30.0, 30.0], [45.3, 22.7], [60.1, 40.6], [25.8, 44.2],
+        [70.0, 25.5], [40.0, 15.0],
+        [12.5, 12.5],            # window reaches the border
+        [83.0, 50.0],            # window reaches the border
+        [5.0, 30.0],             # window well past the border
+        [0.0, 0.0],
+    ], np.float32)
+    act = np.ones(len(pts), bool)
+    act[-1] = False
+    return jnp.asarray(pts), jnp.asarray(act)
+
+
+class TestTrackParity:
+    def test_matches_xla_reference(self, world):
+        _, _, p0, p1, _ = world
+        pts, act = _points()
+        pos_x, ok_x = lk.track_pyramidal(list(p0), list(p1), pts, act,
+                                         PARAMS)
+        pos_p, ok_p = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS)
+        pos_x, ok_x = np.asarray(pos_x), np.asarray(ok_x)
+        pos_p, ok_p = np.asarray(pos_p), np.asarray(ok_p)
+
+        assert (ok_x == ok_p).all(), f"ok mismatch: {ok_x} vs {ok_p}"
+        both = ok_x & ok_p
+        assert both.sum() >= 7
+        d = np.linalg.norm(pos_x[both] - pos_p[both], axis=-1)
+        # Same math, different summation order (block Scharr + matmul
+        # selection vs gathers); agreement to well under a hundredth px.
+        assert d.max() < 0.02, f"pos diff {d}"
+
+    def test_recovers_known_shift(self, world):
+        _, _, p0, p1, (dx, dy) = world
+        pts, act = _points()
+        pos_p, ok_p = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS)
+        pos_p, ok_p = np.asarray(pos_p), np.asarray(ok_p)
+        pts_np = np.asarray(pts)
+        # img1(x) = img0(x + d)  =>  a feature at p in img0 appears at
+        # p - d in img1.
+        interior = ok_p.copy()
+        interior[6:] = False
+        flow = pos_p[interior] - pts_np[interior]
+        err = np.linalg.norm(flow - np.array([-dx, -dy]), axis=-1)
+        assert np.median(err) < 0.1, f"flow err {err}"
+
+    def test_dead_slots_passthrough(self, world):
+        _, _, p0, p1, _ = world
+        pts, act = _points()
+        pos_p, ok_p = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS)
+        assert not bool(ok_p[-1])
+        np.testing.assert_allclose(np.asarray(pos_p)[-1],
+                                   np.asarray(pts)[-1])
+
+
+class TestRefineParity:
+    def test_matches_xla_reference(self, world):
+        img0, img1, _, _, _ = world
+        pts, act = _points()
+        t, gx, gy = lk.extract_patches(jnp.asarray(img0, jnp.float32), pts,
+                                       PARAMS.window)
+        start = pts + jnp.asarray([0.9, -0.6])
+        args = (t, gx, gy, start, act, PARAMS.window, 8, 0.005, 2.0)
+        pos_x, ok_x, res_x = lk.refine_template(
+            jnp.asarray(img1, jnp.float32), *args)
+        pos_p, ok_p, res_p = lk_pallas.refine_template(
+            jnp.asarray(img1, jnp.float32), *args)
+        pos_x, pos_p = np.asarray(pos_x), np.asarray(pos_p)
+        ok_x, ok_p = np.asarray(ok_x), np.asarray(ok_p)
+
+        assert (ok_x == ok_p).all(), f"ok mismatch: {ok_x} vs {ok_p}"
+        both = ok_x & ok_p
+        assert both.sum() >= 7
+        d = np.linalg.norm(pos_x[both] - pos_p[both], axis=-1)
+        assert d.max() < 0.02, f"pos diff {d}"
+        r = np.abs(np.asarray(res_x)[both] - np.asarray(res_p)[both])
+        assert r.max() < 0.05, f"resid diff {r}"

@@ -79,6 +79,11 @@ class StepDiag(NamedTuple):
     vel_norm: jax.Array
     pos_norm: jax.Array
     state_finite: jax.Array
+    # Median solved landmark depth — the engine's monocular-scale-runaway
+    # gate watches this (depth inflation is the positive-feedback signature
+    # of scale divergence: deeper scene -> larger apparent motion -> new
+    # landmarks seeded deeper; observed to reach 100x silently).
+    med_depth: jax.Array
 
 
 class StaticParams(NamedTuple):
@@ -395,6 +400,15 @@ def solve_and_slide(
     w2, table2 = jax.lax.cond(is_kf, slide_kf, slide_general, None)
     table2 = ft.remove_failures(table2)
 
+    solved = (table.fid >= 0) & (table.solve_flag == 1) & (table.depth > 0)
+    dep_sorted = jnp.sort(jnp.where(solved, table.depth, jnp.inf))
+    n_solved = jnp.sum(solved)
+    med_depth = jnp.where(
+        n_solved > 0,
+        dep_sorted[jnp.clip(n_solved // 2, 0, table.depth.shape[0] - 1)],
+        0.0,
+    )
+
     diag = StepDiag(
         is_keyframe=is_kf,
         culled_ids=culled_ids,
@@ -406,6 +420,7 @@ def solve_and_slide(
         pos_norm=jnp.linalg.norm(w.p[W - 1]),
         state_finite=jnp.all(jnp.isfinite(w.p)) & jnp.all(jnp.isfinite(w.v))
         & jnp.all(jnp.isfinite(w.q)),
+        med_depth=med_depth,
     )
     new_state = state._replace(window=w2, table=table2, prior=prior)
     return new_state, w.p[W - 1], w.q[W - 1], diag

@@ -96,6 +96,14 @@ def _map_points_device(table, window, ex_t, ex_q, init_depth):
 class VIOEngine:
     """Push-mode VIO engine. One instance per camera stream."""
 
+    # Scale-runaway gate (see _finalize_tracking): failure when the median
+    # solved depth exceeds FACTOR x a slow EMA baseline. EMA_RATE 0.005 at
+    # 20 fps is a ~10 s timescale: genuine scene-scale changes slower than
+    # that track the baseline; runaway (observed ~1.3x/s compounding)
+    # outruns it within a few seconds.
+    DEPTH_RUNAWAY_FACTOR = 3.0
+    DEPTH_EMA_RATE = 0.005
+
     def __init__(self, cfg: VIOConfig, dtype=jnp.float32):
         # TPU f32 matmuls default to bfloat16 passes; the estimator's
         # whitened systems span ~1e15 dynamic range and the image kernels
@@ -147,6 +155,7 @@ class VIOEngine:
             self.dtype,
         )
         self._pending = None  # drop any in-flight pipelined frame
+        self._depth_ema: Optional[float] = None  # scale-runaway baseline
         self.status = Status.INITIALIZING
         self.frame_index = 0
         self.host_frames: list[HostFrame] = []
@@ -172,6 +181,7 @@ class VIOEngine:
         state survives, estimator restarts initialization."""
         self.state = est.init_state(self.cfg, self.params, self.dtype)
         self._pending = None  # in-flight pipelined frame used the old state
+        self._depth_ema = None
         self.host_frames = []
         self.window_ts = np.zeros(W)
         self._first_frame_time = None
@@ -437,7 +447,8 @@ class VIOEngine:
         # PREVIOUS frame's pose — whose copy has had a full frame interval
         # to arrive. Per-call cost becomes device-time-bound.
         for a in (p_out, q_out, diag.vel_norm, diag.pos_norm,
-                  diag.state_finite, diag.is_keyframe, diag.last_track_num):
+                  diag.state_finite, diag.is_keyframe, diag.last_track_num,
+                  diag.med_depth):
             try:
                 a.copy_to_host_async()
             except Exception:
@@ -448,6 +459,18 @@ class VIOEngine:
             return FrameResult(False, self._last_pose, Status.TRACKING,
                                0, False)
         return self._finalize_tracking(*prev)
+
+    def _check_scale_runaway(self, med_depth: float) -> bool:
+        """Update the median-depth EMA baseline; True when the current
+        median outruns it by DEPTH_RUNAWAY_FACTOR (see class constants)."""
+        if med_depth <= 0:
+            return False
+        if self._depth_ema is None:
+            self._depth_ema = med_depth
+            return False
+        runaway = med_depth > self.DEPTH_RUNAWAY_FACTOR * self._depth_ema
+        self._depth_ema += self.DEPTH_EMA_RATE * (med_depth - self._depth_ema)
+        return runaway
 
     def enable_pipelined_streaming(self, on: bool = True) -> None:
         """Toggle one-frame-lag streaming (see _process_tracking). Results
@@ -474,11 +497,18 @@ class VIOEngine:
         p_np = np.asarray(p_out, np.float64)
         q_np = np.asarray(q_out, np.float64)
 
-        # Estimator-level divergence resets (estimator.cpp:218-251).
+        # Estimator-level divergence resets (estimator.cpp:218-251), plus a
+        # monocular scale-runaway gate beyond the reference: depth inflation
+        # (median solved depth vs a slow baseline EMA) is the signature of
+        # scale divergence — deeper scene -> larger apparent motion -> new
+        # landmarks seeded deeper — which drifts tens of meters while every
+        # reference gate stays silent (observed: median depth 2.8 -> 252 m
+        # over 8 s with |v| 6x ground truth and TRACKING status throughout).
         vel = float(diag.vel_norm)
         pos = float(diag.pos_norm)
         finite = bool(diag.state_finite)
-        if not finite or vel > 10.0 or pos > 100.0:
+        scale_runaway = self._check_scale_runaway(float(diag.med_depth))
+        if not finite or vel > 10.0 or pos > 100.0 or scale_runaway:
             self._consecutive_failures += 1
             if self._consecutive_failures >= MAX_CONSECUTIVE_FAILURES:
                 self._cooldown_remaining = COOLDOWN_FRAMES

@@ -116,18 +116,20 @@ def _sqrt_factorize_dense(H, g):
 
 # Support-restricted factorization: the prior provably touches only the 75
 # dims {poses 0..9, speedbias 0, extrinsic} (see _SUPPORT), so the per-frame
-# eigendecomposition can run on the 75x75 submatrix (~12x fewer eigh FLOPs
-# than 171x171). Round 1 observed a per-call-identical-yet-E2E-different
-# anomaly with this path; that anomaly was the margin-new elimination bug
-# (wrong pose block -> the replay carried stale couplings the restriction
-# zeroed). With margin-new fixed, the restriction is sound and validated:
-# E2E noisy-sim accuracy tests pass, gyro-bias converges to 2% in 30 s
-# (scripts/dev_bias_convergence.py), and chunked throughput on the real
-# chip improves 228.8 -> 246.4 fps. The only observable difference vs the
-# dense path is ulp-level rounding (different J0 row basis), which the
-# chaotic streaming-vs-chunked divergence in tests/test_cross_path_parity
-# amplifies from ~1e-4 to ~3e-2 m over 60 frames — documented there.
-RESTRICTED_SUPPORT = True
+# eigendecomposition can run on the 75x75 submatrix (~12x fewer eigh FLOPs;
+# 228.8 -> 246.4 chunked fps on chip). It is numerically clean per call
+# (J0^T J0 / J0^T r0 identical to 1e-15) and healthy on FEATURE-LEVEL
+# sequences (E2E accuracy tests pass, gyro-bias converges to 2% in 30 s,
+# scripts/dev_bias_convergence.py) — but on the IMAGE path, where 20 fps
+# input makes margin-NEW (non-keyframe) elimination dominate, a controlled
+# A/B on the 14 s noisy verify sequence flips a stable run (dense: ATE
+# 0.150 m, no resets) into monocular scale runaway (restricted: gyro-bias
+# estimate 10-20x true, median depth inflating 1.3x/s, ATE 1.0-1.3 m with
+# resets). Round 1 independently observed restricted-path degradation
+# through the margin-new replay before the margin-new bug was even fixed.
+# Until the margin-new interaction is root-caused, the DENSE factorization
+# is the default; the restricted path stays for A/B (ROUND2_NOTES.md).
+RESTRICTED_SUPPORT = False
 _SUP_N = len(_SUPPORT)
 
 

@@ -264,9 +264,9 @@ def detect_and_track(
 
     # --- Anchor updates: new detections + appearance-change re-anchors ---
     if cfg.anchor_refine:
-        tp_new, gx_new, gy_new = lk.extract_patches(
-            img, pts_out, cfg.lk_window_size
-        )
+        extract = (lk_pallas.extract_patches if use_pallas
+                   else lk.extract_patches)
+        tp_new, gx_new, gy_new = extract(img, pts_out, cfg.lk_window_size)
         upd = (placed | reanchor)[:, None]
         anchor_tp = jnp.where(upd, tp_new, state.anchor_tp)
         anchor_gx = jnp.where(upd, gx_new, state.anchor_gx)

@@ -28,11 +28,15 @@ def clahe(
     x = jnp.clip(img, 0.0, 255.0)
     xi = jnp.round(x).astype(jnp.int32)
 
-    # Per-tile histograms via one-hot contraction: (T, area) x 256.
+    # One-hot pixel encodings in bfloat16: both the 0/1 selectors and the
+    # integer LUT values (<= 255, 8 mantissa bits) are bf16-exact, so every
+    # contraction below is exact with float32 accumulation — and the MXU
+    # runs them at full rate. (Element gathers, the obvious formulation,
+    # serialize on TPU; see ops/lk_pallas.py for the same pathology.)
     tiles_px = xi.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
     tiles_px = tiles_px.reshape(tiles * tiles, area)
-    onehot = jax.nn.one_hot(tiles_px, 256, dtype=dtype)       # (T, area, 256)
-    hist = jnp.sum(onehot, axis=1)                            # (T, 256)
+    onehot = jax.nn.one_hot(tiles_px, 256, dtype=jnp.bfloat16)
+    hist = jnp.sum(onehot, axis=1, dtype=jnp.float32)         # (T, 256)
 
     # Clip + redistribute (OpenCV semantics: limit = max(clip*area/256, 1)).
     limit = jnp.maximum(clip_limit * area / 256.0, 1.0)
@@ -46,28 +50,45 @@ def clahe(
     lut = lut.reshape(tiles, tiles, 256)
 
     # Bilinear interpolation between the 4 surrounding tile LUTs, with
-    # OpenCV's coordinate convention: t = p/tile_size - 0.5, indices clamped
-    # (at the borders both neighbors clamp to the same tile, so the weight
-    # becomes irrelevant).
+    # OpenCV's coordinate convention: t = p/tile_size - 0.5, indices
+    # clamped. The four neighbor-tile indices are CONSTANT within each
+    # half-tile block (the floor of p/tile - 0.5 changes only at half-tile
+    # boundaries), so the per-pixel 4-way LUT gather becomes a batched
+    # one-hot matmul per (th/2, tw/2) block against that block's 4 LUT
+    # rows, followed by the per-pixel bilinear blend.
+    bs_y, bs_x = th // 2, tw // 2
+    nb = 2 * tiles
+    bi = jnp.arange(nb)
+    t0 = jnp.clip((bi - 1) // 2, 0, tiles - 1)   # floor(yy) per block
+    t1 = jnp.clip((bi - 1) // 2 + 1, 0, tiles - 1)
+
+    # (nb, nb, 4) neighbor tile pairs -> flat LUT row ids, then the 4 LUTs
+    # per block: (B, 4, 256).
+    lut_flat = lut.reshape(tiles * tiles, 256).astype(jnp.bfloat16)
+    ids = jnp.stack([
+        t0[:, None] * tiles + t0[None, :],
+        t0[:, None] * tiles + t1[None, :],
+        t1[:, None] * tiles + t0[None, :],
+        t1[:, None] * tiles + t1[None, :],
+    ], axis=-1).reshape(nb * nb, 4)
+    lut4 = lut_flat[ids]                          # (B, 4, 256) — tiny gather
+
+    blocks_px = xi.reshape(nb, bs_y, nb, bs_x).transpose(0, 2, 1, 3)
+    blocks_px = blocks_px.reshape(nb * nb, bs_y * bs_x)
+    oh_b = jax.nn.one_hot(blocks_px, 256, dtype=jnp.bfloat16)
+    vals = jnp.einsum("bpc,bqc->bpq", oh_b, lut4,
+                      preferred_element_type=jnp.float32)  # (B, px, 4)
+    vals = vals.reshape(nb, nb, bs_y, bs_x, 4).transpose(0, 2, 1, 3, 4)
+    vals = vals.reshape(h, w, 4).astype(dtype)
+
     yy = jnp.arange(h, dtype=dtype) / th - 0.5
     xx = jnp.arange(w, dtype=dtype) / tw - 0.5
-    fy = yy - jnp.floor(yy)
-    fx = xx - jnp.floor(xx)
-    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, tiles - 1)
-    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, tiles - 1)
-    y1 = jnp.clip(jnp.floor(yy).astype(jnp.int32) + 1, 0, tiles - 1)
-    x1 = jnp.clip(jnp.floor(xx).astype(jnp.int32) + 1, 0, tiles - 1)
-
-    fy2 = fy[:, None]
-    fx2 = fx[None, :]
-    v00 = lut[y0[:, None], x0[None, :], xi]
-    v01 = lut[y0[:, None], x1[None, :], xi]
-    v10 = lut[y1[:, None], x0[None, :], xi]
-    v11 = lut[y1[:, None], x1[None, :], xi]
+    fy2 = (yy - jnp.floor(yy))[:, None]
+    fx2 = (xx - jnp.floor(xx))[None, :]
     out = (
-        v00 * (1 - fy2) * (1 - fx2)
-        + v01 * (1 - fy2) * fx2
-        + v10 * fy2 * (1 - fx2)
-        + v11 * fy2 * fx2
+        vals[..., 0] * (1 - fy2) * (1 - fx2)
+        + vals[..., 1] * (1 - fy2) * fx2
+        + vals[..., 2] * fy2 * (1 - fx2)
+        + vals[..., 3] * fy2 * fx2
     )
     return out.astype(dtype)

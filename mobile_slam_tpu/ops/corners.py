@@ -18,6 +18,17 @@ import jax.numpy as jnp
 from mobile_slam_tpu.ops import image as im
 
 
+def _max_pool_same(x: jax.Array, k: int) -> jax.Array:
+    """k x k max pool, stride 1, SAME — as two 1-D passes (max is
+    separable). XLA's TPU lowering of a 2-D reduce_window walks the full
+    k*k window per pixel (O(k^2)); the separable form is O(k) and
+    identical."""
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (k, 1), (1, 1),
+                              "SAME")
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, k), (1, 1),
+                                 "SAME")
+
+
 def min_eig_response(img: jax.Array, block_size: int = 3) -> jax.Array:
     """cornerMinEigenVal equivalent: smaller eigenvalue of the Sobel
     structure tensor box-summed over block_size."""
@@ -47,10 +58,7 @@ def occupancy_suppression(
     yi = jnp.clip(jnp.round(pts[:, 1]).astype(jnp.int32), 0, h - 1)
     xi = jnp.where(active, xi, w)  # drop inactive out of bounds
     occ = occ.at[yi, xi].set(1.0, mode="drop")
-    k = 2 * min_dist + 1
-    occ = jax.lax.reduce_window(
-        occ, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
-    )
+    occ = _max_pool_same(occ, 2 * min_dist + 1)
     return jnp.where(occ > 0, 0.0, response)
 
 
@@ -86,10 +94,7 @@ def detect_grid(
     # density matching OpenCV's greedy filter (full-window NMS ~3x
     # undercounts because it demands mutual dominance, a stronger condition
     # than the reference's one-sided greedy check).
-    k_win = cell + 1
-    local_max = jax.lax.reduce_window(
-        r_j, -jnp.inf, jax.lax.max, (k_win, k_win), (1, 1), "SAME"
-    )
+    local_max = _max_pool_same(r_j, cell + 1)
     is_peak = (r_j > 0) & (r_j >= local_max)
     flat = jnp.where(is_peak.reshape(-1), r_j.reshape(-1), 0.0)
 

@@ -40,22 +40,25 @@ def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
 
 
 def _sep_filter(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
-    """Separable 2D correlation with reflect-101 padding (OpenCV default)."""
+    """Separable 2D correlation with reflect-101 padding (OpenCV default).
+
+    Implemented as shift-and-add over statically-shifted slices rather
+    than lax.conv: a batch-1 single-channel conv starves the MXU and hits
+    XLA's slow TPU path, while K shifted VPU multiply-adds fuse into a
+    handful of elementwise passes. Cross-correlation (unflipped kernels),
+    exactly like cv2.sepFilter2D."""
+    h, w = img.shape
     rx = kx.shape[0] // 2
     ry = ky.shape[0] // 2
-    # Pad reflect-101 (edge pixel not duplicated), like cv2.BORDER_REFLECT_101.
-    # NOTE: lax.conv computes cross-correlation, which is exactly what
-    # cv2.sepFilter2D does — kernels are used unflipped.
+    # Pad reflect-101 (edge pixel not duplicated), cv2.BORDER_REFLECT_101.
     p = jnp.pad(img, ((ry, ry), (rx, rx)), mode="reflect")
-    p = jax.lax.conv_general_dilated(
-        p[None, None], ky[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    p = jax.lax.conv_general_dilated(
-        p[None, None], kx[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    return p
+    acc = jnp.zeros((h, w + 2 * rx), img.dtype)
+    for j in range(ky.shape[0]):
+        acc = acc + ky[j] * p[j:j + h, :]
+    out = jnp.zeros((h, w), img.dtype)
+    for i in range(kx.shape[0]):
+        out = out + kx[i] * acc[:, i:i + w]
+    return out
 
 
 GAUSS5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0

@@ -212,20 +212,25 @@ def _lk_kernel(pts_ref, active_ref, *refs, params: LKParams, shapes,
                         (jnp.int32(0), a, b, jnp.asarray(False)))[1:3],
                     lambda a, b: (a, b),
                     cx, cy)
-                ok_in = ok_in & invertible
+                # Per-LEVEL health gate, like ops/lk.py's track_level: a
+                # point that leaves the (logical) image at ANY level is
+                # dead even if a finer level pulls it back in — such
+                # tracks are garbage, and because the failure mode is
+                # symmetric they can survive the forward-backward check
+                # and poison the estimator.
+                inside_l = ((cx >= 0.0) & (cx < w - 1.0)
+                            & (cy >= 0.0) & (cy < h - 1.0))
+                finite_l = jnp.isfinite(cx) & jnp.isfinite(cy)
+                ok_in = ok_in & invertible & inside_l & finite_l
                 if lvl > 0:
                     cx = cx * 2.0
                     cy = cy * 2.0
                 carry = (cx, cy, ok_in)
 
             cx, cy, ok_in = carry
-            h0, w0 = shapes[0]
-            inside = ((cx >= 0.0) & (cx < w0 - 1.0)
-                      & (cy >= 0.0) & (cy < h0 - 1.0))
-            finite = jnp.isfinite(cx) & jnp.isfinite(cy)
             out_x_ref[k, 0] = cx
             out_y_ref[k, 0] = cy
-            out_ok_ref[k, 0] = (ok_in & inside & finite).astype(jnp.int32)
+            out_ok_ref[k, 0] = ok_in.astype(jnp.int32)
 
         return 0
 
@@ -441,3 +446,74 @@ def refine_template(img, t_patch, gx, gy, pos0, active, window, iters, eps,
 
     pos = jnp.concatenate([out_x, out_y], axis=1)
     return pos, out_ok[:, 0] != 0, out_res[:, 0]
+
+
+def _extract_kernel(pts_ref, img_ref, t_ref, gx_ref, gy_ref, *,
+                    window, shape, pad):
+    """Template + Scharr gradient patch extraction (ops.lk.extract_patches)
+    for every slot: one block load + block Scharr + bilinear per point.
+    img_ref is replicate-padded by `pad`; shape is the LOGICAL shape."""
+    h, w = shape
+    hp, wp = h + 2 * pad, w + 2 * pad
+    win = window
+    half = (win - 1) // 2
+    k_slots = pts_ref.shape[0]
+
+    def one_point(k, _):
+        tx = pts_ref[k, 0]
+        ty = pts_ref[k, 1]
+        tbx = jnp.clip(jnp.floor(tx).astype(jnp.int32) - half - 1 + pad,
+                       0, wp - (win + 3))
+        tby = jnp.clip(jnp.floor(ty).astype(jnp.int32) - half - 1 + pad,
+                       0, hp - (win + 3))
+        ftx = tx - jnp.floor(tx)
+        fty = ty - jnp.floor(ty)
+        tb = _load_block(img_ref, tby, tbx, win + 3, win + 3, hp, wp)
+        gxb, gyb = _scharr_on_block(tb, win + 1)
+        t_ref[k] = _bilinear_block(tb[1:win + 2, 1:win + 2], ftx, fty, win)
+        gx_ref[k] = _bilinear_block(gxb, ftx, fty, win)
+        gy_ref[k] = _bilinear_block(gyb, ftx, fty, win)
+        return 0
+
+    jax.lax.fori_loop(0, k_slots, one_point, 0)
+
+
+def extract_patches(img, centers, window):
+    """Drop-in for ops.lk.extract_patches on TPU: (t, gx, gy) each
+    (K, window*window). Border behavior: replicate padding (== per-pixel
+    clamp); ops/lk.py's full-image Scharr uses reflect-101 padding, so
+    gradient patches of windows overlapping the border differ in their
+    outermost pixel — such features are border-culled by the tracker."""
+    k_slots = centers.shape[0]
+    f32 = jnp.float32
+    half = (window - 1) // 2
+    pad = half + 2
+
+    kernel = functools.partial(_extract_kernel, window=window,
+                               shape=img.shape, pad=pad)
+
+    def wrapped(pts_ref, img_ref, t_ref, gx_ref, gy_ref):
+        kernel(pts_ref, img_ref, t_ref, gx_ref, gy_ref)
+
+    t3, gx3, gy3 = pl.pallas_call(
+        wrapped,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_slots, window, window), f32),
+            jax.ShapeDtypeStruct((k_slots, window, window), f32),
+            jax.ShapeDtypeStruct((k_slots, window, window), f32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=_INTERPRET,
+    )(centers.astype(f32), jnp.pad(img.astype(f32), pad, mode="edge"))
+
+    return (t3.reshape(k_slots, window * window),
+            gx3.reshape(k_slots, window * window),
+            gy3.reshape(k_slots, window * window))

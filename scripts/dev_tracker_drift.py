@@ -21,7 +21,8 @@ import time
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def main():
         max_cnt=150, min_dist=20, max_points=192, fisheye=True,
         anchor_refine="--no-anchor" not in sys.argv,
         fb_check="--no-fb" not in sys.argv,
+        use_pallas=False if "--no-pallas" in sys.argv else None,
     )
 
     scfg = sim.SimConfig(duration=DURATION, cam_rate=20.0, imu_rate=200.0,

@@ -99,3 +99,38 @@ class TestEngineEndToEnd:
                           with_scale=True)
         assert np.isfinite(ate.rmse)
         assert ate.rmse < 1.0, f"noisy Sim3 ATE {ate.rmse:.3f} m"
+
+
+class TestScaleRunawayGate:
+    """The monocular scale-runaway gate (VIOEngine._check_scale_runaway):
+    depth inflation beyond FACTOR x a slow EMA baseline is a failure.
+    Observed failure mode: median solved depth 2.8 -> 252 m over 8 s with
+    every reference divergence gate silent."""
+
+    def _gate(self):
+        eng = object.__new__(VIOEngine)  # logic-only; no jit machinery
+        eng._depth_ema = None
+        return eng
+
+    def test_trips_on_compounding_inflation(self):
+        eng = self._gate()
+        md, tripped = 2.8, False
+        for _ in range(200):  # 10 s at 20 fps of 1.3x/s runaway
+            if eng._check_scale_runaway(md):
+                tripped = True
+                break
+            md *= 1.3 ** (1 / 20.0)
+        assert tripped and md < 30.0, f"gate late or silent (md={md:.1f})"
+
+    def test_tolerates_noise_and_slow_change(self):
+        eng = self._gate()
+        rs = np.random.RandomState(0)
+        md = 2.8
+        for i in range(1200):  # 60 s: noise + gradual 2x scene change
+            md = 2.8 * (1 + i / 1200.0) * (1 + 0.15 * rs.randn())
+            assert not eng._check_scale_runaway(max(md, 0.5))
+
+    def test_ignores_empty_scene(self):
+        eng = self._gate()
+        assert not eng._check_scale_runaway(0.0)
+        assert eng._depth_ema is None

@@ -135,3 +135,21 @@ class TestRefineParity:
         assert d.max() < 0.02, f"pos diff {d}"
         r = np.abs(np.asarray(res_x)[both] - np.asarray(res_p)[both])
         assert r.max() < 0.05, f"resid diff {r}"
+
+
+class TestExtractParity:
+    def test_matches_xla_reference(self, world):
+        img0, _, _, _, _ = world
+        pts, _ = _points()
+        t_x, gx_x, gy_x = lk.extract_patches(
+            jnp.asarray(img0, jnp.float32), pts, PARAMS.window)
+        t_p, gx_p, gy_p = lk_pallas.extract_patches(
+            jnp.asarray(img0, jnp.float32), pts, PARAMS.window)
+        # Interior points: exact agreement. Border-overlapping windows
+        # differ in their outermost gradient pixels (reflect-101 vs
+        # replicate padding) — those features are border-culled upstream.
+        interior = slice(0, 6)
+        for a, b, name in ((t_x, t_p, "t"), (gx_x, gx_p, "gx"),
+                           (gy_x, gy_p, "gy")):
+            d = np.abs(np.asarray(a)[interior] - np.asarray(b)[interior])
+            assert d.max() < 1e-3, f"{name} diff {d.max()}"

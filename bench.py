@@ -213,6 +213,7 @@ def run_image_path(cfg, cam, data):
     carry = chunked.ImageChunkCarry(
         est_state=engine.state, tracker_state=engine.tracker_state,
         banned_ids=engine._banned_ids, key=engine._key,
+        depth_ema=jnp.asarray(engine._depth_ema or 0.0, jnp.float32),
     )
     t0_seq = engine._t0
     dtype = jnp.float32

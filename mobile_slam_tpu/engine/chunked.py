@@ -18,7 +18,27 @@ import jax
 import jax.numpy as jnp
 
 from mobile_slam_tpu.engine import estimator as est
+from mobile_slam_tpu.engine.vio_engine import VIOEngine
 from mobile_slam_tpu.frontend import tracker as trk
+
+# Scale-runaway gate constants, shared with the streaming engine (see the
+# rationale comment on the VIOEngine class).
+_DEPTH_RUNAWAY_FACTOR = VIOEngine.DEPTH_RUNAWAY_FACTOR
+_DEPTH_EMA_RATE = VIOEngine.DEPTH_EMA_RATE
+
+
+def scale_gate(depth_ema: jax.Array, med_depth: jax.Array):
+    """Device-side scale-runaway gate: mirrors
+    VIOEngine._check_scale_runaway (median solved depth vs slow EMA
+    baseline; ema == 0 encodes "uninitialized"). Returns (new_ema, runaway).
+    """
+    has_depth = med_depth > 0
+    ema0 = jnp.where(depth_ema > 0, depth_ema, med_depth)
+    runaway = has_depth & (med_depth > _DEPTH_RUNAWAY_FACTOR * ema0)
+    ema1 = jnp.where(has_depth,
+                     ema0 + _DEPTH_EMA_RATE * (med_depth - ema0),
+                     depth_ema)
+    return ema1, runaway
 
 
 def make_chunked_step(params: est.StaticParams, num_iterations: int):
@@ -66,6 +86,7 @@ class ImageChunkCarry(NamedTuple):
     tracker_state: trk.TrackerState
     banned_ids: jax.Array   # (F,) estimator outlier feedback to the tracker
     key: jax.Array          # PRNG key for RANSAC hypothesis sampling
+    depth_ema: jax.Array    # () slow median-depth baseline; 0 = uninitialized
 
 
 def make_chunked_image_step(params: est.StaticParams, num_iterations: int,
@@ -95,9 +116,12 @@ def make_chunked_image_step(params: est.StaticParams, num_iterations: int,
         state, p, q, diag = est.solve_and_slide(
             state, is_kf, params, num_iterations
         )
+        # Chunked mode has no host gates, so the scale-runaway check runs
+        # on device inside the scan.
+        ema1, runaway = scale_gate(carry.depth_ema, diag.med_depth)
         ok = (diag.state_finite & (diag.vel_norm <= 10.0)
-              & (diag.pos_norm <= 100.0))
-        return (ImageChunkCarry(state, tstate, diag.culled_ids, key),
+              & (diag.pos_norm <= 100.0) & ~runaway)
+        return (ImageChunkCarry(state, tstate, diag.culled_ids, key, ema1),
                 (p, q, ok, diag.is_keyframe))
 
     def chunk(carry, inputs):

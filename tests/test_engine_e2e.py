@@ -134,3 +134,27 @@ class TestScaleRunawayGate:
         eng = self._gate()
         assert not eng._check_scale_runaway(0.0)
         assert eng._depth_ema is None
+
+    def test_device_gate_matches_host_gate(self):
+        """chunked.scale_gate (the in-scan device-side mirror) must agree
+        with the host gate step-for-step: same trip frame, same EMA."""
+        from mobile_slam_tpu.engine import chunked
+
+        eng = self._gate()
+        ema = jnp.asarray(0.0, jnp.float32)
+        rs = np.random.RandomState(1)
+        meds = [0.0, 0.0]                                   # pre-init frames
+        meds += [2.8 * (1 + 0.1 * rs.randn()) for _ in range(100)]  # quiet
+        meds += [meds[-1] * 1.3 ** (k / 20.0) for k in range(1, 220)]  # runaway
+        host_trip = dev_trip = None
+        for i, md in enumerate(meds):
+            md = max(float(md), 0.0)
+            host = eng._check_scale_runaway(md)
+            ema, dev = chunked.scale_gate(ema, jnp.asarray(md, jnp.float32))
+            if host and host_trip is None:
+                host_trip = i
+            if bool(dev) and dev_trip is None:
+                dev_trip = i
+        assert host_trip is not None
+        assert dev_trip == host_trip
+        assert abs(float(ema) - eng._depth_ema) < 1e-3 * eng._depth_ema

@@ -49,6 +49,7 @@ DURATION = float(next((a.split("=")[1] for a in sys.argv
 IMG_DURATION = float(next((a.split("=")[1] for a in sys.argv
                            if a.startswith("--img-duration=")), 15.0))
 CHUNK = 50
+FLEET_B = 4   # concurrent sequences in the fleet image-path phase
 BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
 
 
@@ -171,7 +172,7 @@ def run_capacity(cfg, data):
 def run_image_path(cfg, cam, data):
     """Stream rendered frames until init, then chunked image-path serving.
 
-    Returns (fps_image, ate_sim3_rmse, n_poses, n_frames)."""
+    Returns (fps_image, ate_sim3_rmse, n_poses, n_frames, fps_fleet)."""
     n_img = min(int(IMG_DURATION * 20.0), len(data.frames))
     print(f"[bench] image path: rendering {n_img} frames...", file=sys.stderr)
     t_r = time.perf_counter()
@@ -204,7 +205,7 @@ def run_image_path(cfg, cam, data):
         if init_frame is not None and fi >= init_frame + 3:
             break
     if init_frame is None:
-        return 0.0, float("nan"), 0, n_img
+        return 0.0, float("nan"), 0, n_img, 0.0
 
     step_img = chunked.make_chunked_image_step(
         engine.params, cfg.estimator.num_iterations, cfg.tracker,
@@ -281,7 +282,39 @@ def run_image_path(cfg, cam, data):
                           data.cam_ts, data.gt_p, with_scale=True).rmse
     print(f"[bench] fps_image_path={fps_image:.1f} ate_img_sim3={ate:.3f}m "
           f"poses={len(est_p)}/{n_img}", file=sys.stderr)
-    return fps_image, ate, len(est_p), n_img
+
+    # Fleet mode: B concurrent sequences' full image pipelines vmapped into
+    # one program (parallel/batch.py) — a single 512x512 stream
+    # underutilizes the chip, so aggregate throughput is the TPU-native
+    # scaling headline. Same warmed carry replicated B ways (identical
+    # per-sequence work; batching economics don't depend on the data).
+    fps_fleet = 0.0
+    if batches and carry is not None:
+        from mobile_slam_tpu.parallel import batch as pbatch
+        B = FLEET_B
+        bstep = pbatch.make_batched_image_step(
+            engine.params, cfg.estimator.num_iterations, cfg.tracker,
+            engine.camera, cfg.camera.focal_length,
+        )
+        bcarry = jax.tree.map(
+            lambda x: jnp.stack([x] * B), carry)
+        # Real chunk data per rep (LK early-exit is data-dependent, so
+        # timing on replayed garbage would flatter the rate).
+        bbatches = [jax.tree.map(lambda x: jnp.stack([x] * B, axis=1), b)
+                    for b in batches]
+        bcarry, bout = bstep(bcarry, bbatches[0])     # compile + warmup
+        jax.block_until_ready(bout[0])
+        t_s = time.perf_counter()
+        reps = 0
+        for b in bbatches[1:] or bbatches:
+            bcarry, bout = bstep(bcarry, b)
+            reps += 1
+        jax.block_until_ready(bout[0])
+        fps_fleet = B * CHUNK * reps / (time.perf_counter() - t_s)
+        print(f"[bench] fps_image_fleet{B}={fps_fleet:.1f} "
+              f"({fps_fleet / B:.1f}/seq)", file=sys.stderr)
+
+    return fps_image, ate, len(est_p), n_img, fps_fleet
 
 
 def main():
@@ -410,7 +443,8 @@ def main():
     # (vio_engine.cpp:209-243); this phase measures the same thing: rendered
     # frames are pre-staged on device and each chunk runs CLAHE + pyramid +
     # LK(+FB/anchor) + RANSAC + Shi-Tomasi + the full filter per frame.
-    fps_image, ate_img_sim3, img_poses, n_img_frames = run_image_path(cfg, cam, data)
+    (fps_image, ate_img_sim3, img_poses, n_img_frames,
+     fps_image_fleet) = run_image_path(cfg, cam, data)
 
     # --- Phase 4: reference-scale capacity (1024 landmark slots). --------
     fps_capacity = run_capacity(cfg, data)
@@ -435,6 +469,7 @@ def main():
         "vs_baseline": round(fps_chunked / BASELINE_FPS, 3),
         "fps_streaming": round(fps_stream, 2),
         "fps_image_path": round(fps_image, 2),
+        "fps_image_fleet4": round(fps_image_fleet, 2),
         "fps_capacity_1024slots": round(fps_capacity, 2),
         "ate_sim3_rmse_m": round(ate_sim3.rmse, 4),
         "ate_se3_rmse_m": round(ate_se3.rmse, 4),

@@ -89,16 +89,16 @@ class ImageChunkCarry(NamedTuple):
     depth_ema: jax.Array    # () slow median-depth baseline; 0 = uninitialized
 
 
-def make_chunked_image_step(params: est.StaticParams, num_iterations: int,
-                            tracker_cfg, camera, focal: float):
-    """Full image path in ONE device program per chunk: the lax.scan step
-    runs CLAHE -> pyramid -> LK (+FB/anchor) -> F-RANSAC -> Shi-Tomasi ->
-    undistort (frontend/tracker.py) and then bookkeeping + solve + slide —
-    the reference's complete per-frame hot loop (vio_engine.cpp:209-243)
-    with zero host round trips inside the chunk.
+def make_image_frame_step(params: est.StaticParams, num_iterations: int,
+                          tracker_cfg, camera, focal: float):
+    """The full per-frame image-path step: CLAHE -> pyramid -> LK
+    (+FB/anchor) -> F-RANSAC -> Shi-Tomasi -> undistort
+    (frontend/tracker.py) and then bookkeeping + solve + slide — the
+    reference's complete per-frame hot loop (vio_engine.cpp:209-243).
 
-    Returns a jitted fn(ImageChunkCarry, ImageFrameInput-with-leading-T) ->
-    (carry, (p (T,3), q (T,4), ok (T,), is_kf (T,)))."""
+    Returns fn(ImageChunkCarry, ImageFrameInput) ->
+    (carry, (p (3,), q (4,), ok (), is_kf ())), suitable for lax.scan
+    (make_chunked_image_step) or vmap (parallel.batch fleet mode)."""
 
     def one_frame(carry: ImageChunkCarry, inp: ImageFrameInput):
         key, sub = jax.random.split(carry.key)
@@ -123,6 +123,20 @@ def make_chunked_image_step(params: est.StaticParams, num_iterations: int,
               & (diag.pos_norm <= 100.0) & ~runaway)
         return (ImageChunkCarry(state, tstate, diag.culled_ids, key, ema1),
                 (p, q, ok, diag.is_keyframe))
+
+    return one_frame
+
+
+def make_chunked_image_step(params: est.StaticParams, num_iterations: int,
+                            tracker_cfg, camera, focal: float):
+    """Full image path in ONE device program per chunk: a lax.scan of
+    make_image_frame_step over a T-frame chunk, with zero host round trips
+    inside the chunk.
+
+    Returns a jitted fn(ImageChunkCarry, ImageFrameInput-with-leading-T) ->
+    (carry, (p (T,3), q (T,4), ok (T,), is_kf (T,)))."""
+    one_frame = make_image_frame_step(params, num_iterations, tracker_cfg,
+                                      camera, focal)
 
     def chunk(carry, inputs):
         return jax.lax.scan(one_frame, carry, inputs)

@@ -149,6 +149,10 @@ class VIOEngine:
     # ------------------------------------------------------------------
 
     def reset(self) -> None:
+        # Fresh PRNG stream: deterministic replay after reset, and the old
+        # key may have been donated away (chunked.make_chunked_image_step
+        # donates its carry, which holds this key).
+        self._key = jax.random.PRNGKey(0)
         self.state = est.init_state(self.cfg, self.params, self.dtype)
         self.tracker_state = trk.init_tracker_state(
             self.cfg.tracker, self.cfg.camera.height, self.cfg.camera.width,

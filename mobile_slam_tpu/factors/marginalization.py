@@ -127,8 +127,15 @@ def _sqrt_factorize_dense(H, g):
 # estimate 10-20x true, median depth inflating 1.3x/s, ATE 1.0-1.3 m with
 # resets). Round 1 independently observed restricted-path degradation
 # through the margin-new replay before the margin-new bug was even fixed.
-# Until the margin-new interaction is root-caused, the DENSE factorization
-# is the default; the restricted path stays for A/B (ROUND2_NOTES.md).
+# MULTI-SEED VERDICT (scripts/dev_multiseed.py, 8 seeds x 14 s image path
+# on chip, /tmp/multiseed.json 2026-08-17): dense ATE median 0.051 m / max
+# 0.083 m; restricted median 0.048 m but a heavy tail — max 0.543 m, 3/8
+# seeds visibly worse than their dense counterpart, 0 gate trips either
+# arm. The two factorizations are equivalent in exact arithmetic
+# (orthogonally-related square roots of the same prior Hessian), so the
+# tail is the f32 rounding realization occasionally kicking a trajectory
+# along the weakly-observable monocular-scale direction. DENSE stays the
+# default: +7.7% chunked fps is not worth a 1-in-8 chance of ~10x ATE.
 RESTRICTED_SUPPORT = False
 _SUP_N = len(_SUPPORT)
 

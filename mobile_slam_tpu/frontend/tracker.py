@@ -95,7 +95,8 @@ def _grid_cell_dedup(pts, active, track_cnt, min_dist, width, height):
     cell = cy * gw + cx
     cell = jnp.where(active, cell, gh * gw)  # park inactive out of range
     # Priority: higher track_cnt wins; ties -> lower slot index.
-    prio = track_cnt.astype(jnp.int32) * (K + 1) + (K - jnp.arange(K))
+    prio = (track_cnt.astype(jnp.int32) * (K + 1)
+            + (K - jnp.arange(K, dtype=jnp.int32)))
     best = jnp.zeros((gh * gw + 1,), jnp.int32).at[cell].max(
         jnp.where(active, prio, 0)
     )

@@ -63,6 +63,44 @@ def make_batched_step(params: est.StaticParams, num_iterations: int,
                    out_shardings=(shard, shard))
 
 
+def make_batched_image_step(params: est.StaticParams, num_iterations: int,
+                            tracker_cfg, camera, focal: float,
+                            mesh: Mesh | None = None, axis: str = "seq"):
+    """Fleet FULL-image-path step: lax.scan over a T-frame chunk of the
+    vmapped per-frame image step (CLAHE -> pyramid -> LK -> RANSAC ->
+    Shi-Tomasi -> solve, engine/chunked.make_image_frame_step) — B
+    independent camera streams' complete pipelines in one device program.
+
+    A single 512x512 stream underutilizes the chip (small matmuls, short
+    vector ops); batching sequences is the TPU-native way to convert spare
+    silicon into aggregate throughput (SURVEY §2.8: scaling "sequence
+    length" = scaling concurrent sequences). With a mesh, the batch axis
+    shards across devices — pure DP over ICI, no hot-path collectives.
+
+    Returns a jitted fn(carry_B, inputs_TB) -> (carry_B, outs (T, B, ...))
+    where carry_B is an ImageChunkCarry with leading B on every leaf and
+    inputs_TB an ImageFrameInput with leading (T, B)."""
+    from mobile_slam_tpu.engine import chunked
+
+    one_frame = chunked.make_image_frame_step(
+        params, num_iterations, tracker_cfg, camera, focal)
+    vone = jax.vmap(one_frame)
+
+    def chunk(carry, inputs):
+        return jax.lax.scan(vone, carry, inputs)
+
+    if mesh is None:
+        return jax.jit(chunk, donate_argnums=(0,))
+    shard_b = NamedSharding(mesh, P(axis))
+    shard_tb = NamedSharding(mesh, P(None, axis))
+    return jax.jit(
+        chunk,
+        in_shardings=(shard_b, shard_tb),
+        out_shardings=(shard_b, shard_tb),
+        donate_argnums=(0,),
+    )
+
+
 def fleet_metrics(batched_p: jax.Array, gt_p: jax.Array) -> jax.Array:
     """Example fleet-wide reduction (mean position error across the sharded
     batch) — the cross-sequence psum/mean the SURVEY calls out as the only

@@ -308,3 +308,42 @@ class TestFullTracker:
         v = outs[-1].vel[outs[-1].valid]
         assert np.isfinite(v).all()
         assert np.abs(v).max() < 5.0  # normalized-plane rad/s, sane bound
+
+
+class TestNonSquareResolution:
+    """The reference runs EuRoC 752x480 and KITTI-360 1408x376 pinhole
+    cameras (configs/euroc.yaml, configs/kitti360.yaml), so every image
+    kernel must be resolution-agnostic (h != w). A small 384x256 run keeps
+    CPU time down while catching any height/width transposition."""
+
+    def test_tracker_full_pipeline_nonsquare(self):
+        cam_cfg = CameraConfig(
+            model_type="PINHOLE", width=384, height=256,
+            focal_length=200.0, fx=200.0, fy=200.0, cx=192.0, cy=128.0)
+        cam64 = make_camera(cam_cfg, dtype=jnp.float64)
+        cam32 = make_camera(cam_cfg, dtype=jnp.float32)
+        cfg = TrackerConfig(max_cnt=80, min_dist=16, max_points=96)
+        scfg = sim.SimConfig(duration=0.25, cam_rate=20.0, imu_rate=100.0,
+                             num_landmarks=400, max_features=80, seed=11)
+        r_ic = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+        t_ic = np.zeros(3)
+        data = sim.simulate(scfg, cam64, r_ic, t_ic)
+        step = jax.jit(functools.partial(
+            trk.detect_and_track, camera=cam32, cfg=cfg, focal=200.0))
+        state = trk.init_tracker_state(cfg, 256, 384, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        for fi in range(len(data.frames)):
+            img = sim.render_frame(data, fi, cam64, r_ic, t_ic)
+            assert img.shape == (256, 384)
+            state, out = step(state, jnp.asarray(img, jnp.float32),
+                              jnp.asarray(data.cam_ts[fi], jnp.float32),
+                              key=jax.random.fold_in(key, fi))
+        state = jax.tree.map(np.asarray, state)
+        out = jax.tree.map(np.asarray, out)
+        assert state.active.sum() > 20
+        assert out.num_tracked > 15
+        uv = out.uv[out.valid]
+        assert (uv[:, 0] >= 0).all() and (uv[:, 0] < 384).all()
+        assert (uv[:, 1] >= 0).all() and (uv[:, 1] < 256).all()
+        # Points actually use the wide dimension (not clipped to a square).
+        assert uv[:, 0].max() > 260.0

@@ -52,6 +52,79 @@ class TestBatchedStep:
         np.testing.assert_allclose(float(m), np.sqrt(3) * 0.1, rtol=1e-5)
 
 
+class TestBatchedImageStep:
+    """Fleet FULL-image-path mode (parallel.batch.make_batched_image_step):
+    B sequences' complete tracker+estimator pipelines vmapped into one
+    program. Pure DP semantics — the batched run must equal running each
+    sequence through the single-sequence chunked step."""
+
+    def _carry_and_inputs(self, cfg, params, seed, T):
+        from mobile_slam_tpu.engine import chunked
+        from mobile_slam_tpu.frontend import tracker as trk
+
+        st, inp = make_example_state(cfg, params, jnp.float32, seed=seed)
+        tst = trk.init_tracker_state(cfg.tracker, cfg.camera.height,
+                                     cfg.camera.width, jnp.float32)
+        carry = chunked.ImageChunkCarry(
+            est_state=st, tracker_state=tst,
+            banned_ids=jnp.full((cfg.estimator.max_features,), -1,
+                                jnp.int32),
+            key=jax.random.PRNGKey(seed),
+            depth_ema=jnp.asarray(0.0, jnp.float32),
+        )
+        rng = np.random.default_rng(100 + seed)
+        frames = []
+        for t in range(T):
+            # Smooth random texture so Shi-Tomasi finds corners.
+            base = rng.uniform(0, 255, (16, 16))
+            img = np.kron(base, np.ones((4, 4)))[:cfg.camera.height,
+                                                 :cfg.camera.width]
+            frames.append(chunked.ImageFrameInput(
+                img=jnp.asarray(img, jnp.float32),
+                ts=inp.ts + 0.05 * t,
+                imu_dt=inp.imu_dt, imu_acc=inp.imu_acc,
+                imu_gyr=inp.imu_gyr, imu_cnt=inp.imu_cnt,
+            ))
+        return carry, chunked.stack_image_inputs(frames)
+
+    def test_vmapped_image_fleet_matches_sequential(self):
+        from mobile_slam_tpu.engine import chunked
+
+        cfg = tiny_config()
+        params = est.make_params(cfg, jnp.float32)
+        from mobile_slam_tpu.models.cameras.base import make_camera
+        cam = make_camera(cfg.camera, dtype=jnp.float32)
+        B, T = 2, 2
+        pairs = [self._carry_and_inputs(cfg, params, s, T) for s in range(B)]
+
+        # Sequential single-sequence runs (no donation: reuse inputs).
+        step1 = chunked.make_chunked_image_step(
+            params, cfg.estimator.num_iterations, cfg.tracker, cam,
+            cfg.camera.focal_length)
+        seq_out = []
+        for carry, inputs in pairs:
+            _, out = step1(jax.tree.map(jnp.copy, carry), inputs)
+            seq_out.append(jax.tree.map(np.asarray, out))
+
+        # Batched fleet run.
+        bcarry = pbatch.batch_states([c for c, _ in pairs])
+        binputs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                               *[i for _, i in pairs])
+        bstep = pbatch.make_batched_image_step(
+            params, cfg.estimator.num_iterations, cfg.tracker, cam,
+            cfg.camera.focal_length)
+        bcarry2, bout = bstep(bcarry, binputs)
+        bout = jax.tree.map(np.asarray, bout)
+
+        for s in range(B):
+            p_b, q_b, ok_b, kf_b = (bout[0][:, s], bout[1][:, s],
+                                    bout[2][:, s], bout[3][:, s])
+            p_s, q_s, ok_s, kf_s = seq_out[s]
+            assert np.isfinite(p_b).all()
+            np.testing.assert_allclose(p_b, p_s, rtol=2e-3, atol=2e-4)
+            np.testing.assert_array_equal(kf_b, kf_s)
+
+
 @pytest.mark.skipif(
     not os.environ.get("RUN_SLOW_TESTS"),
     reason="8-virtual-device compile takes ~5min on small hosts; "

@@ -96,12 +96,34 @@ def detect_grid(
     # than the reference's one-sided greedy check).
     local_max = _max_pool_same(r_j, cell + 1)
     is_peak = (r_j > 0) & (r_j >= local_max)
-    flat = jnp.where(is_peak.reshape(-1), r_j.reshape(-1), 0.0)
+    peaks = jnp.where(is_peak, r_j, 0.0)
 
-    top_val, top_idx = jax.lax.top_k(flat, max_new)
+    # NMS survivors are pairwise > cell//2 Chebyshev apart, so an aligned
+    # b x b block with b <= cell//2 + 1 holds at most one survivor —
+    # block-max reduction before top_k is lossless and shrinks the top_k
+    # from h*w to (h/b)*(w/b) candidates (top_k is the expensive op on
+    # TPU: 2.6 ms over 512^2 vs ~0.1 ms over 64^2, dev_stage_timing).
+    b = 1
+    while b * 2 <= min(cell // 2 + 1, 16):
+        b *= 2
+    hp = -(-h // b) * b
+    wp = -(-w // b) * b
+    if (hp, wp) != (h, w):
+        peaks = jnp.pad(peaks, ((0, hp - h), (0, wp - w)))
+    hb, wb = hp // b, wp // b
+    blk = peaks.reshape(hb, b, wb, b).transpose(0, 2, 1, 3).reshape(
+        hb, wb, b * b)
+    vals = jnp.max(blk, axis=-1)
+    off = jnp.argmax(blk, axis=-1).astype(jnp.int32)
+    ys = (jnp.arange(hb, dtype=jnp.int32)[:, None] * b + off // b)
+    xs = (jnp.arange(wb, dtype=jnp.int32)[None, :] * b + off % b)
+
+    top_val, top_idx = jax.lax.top_k(vals.reshape(-1), max_new)
     pts = jnp.stack(
-        [(top_idx % w).astype(r.dtype), (top_idx // w).astype(r.dtype)],
+        [xs.reshape(-1)[top_idx].astype(r.dtype),
+         ys.reshape(-1)[top_idx].astype(r.dtype)],
         axis=-1,
     )
     valid = top_val > 0
+    pts = jnp.where(valid[:, None], pts, 0.0)
     return pts, valid

@@ -172,19 +172,30 @@ def main():
 
     results = []
     for arm in ARMS:
-        marginalization.RESTRICTED_SUPPORT = (arm == "restricted")
+        # Arm syntax: "dense" | "restricted", optionally ":accn=<val>" to
+        # override the estimator's accelerometer noise density (scale-
+        # observability experiments: acc_n weights the IMU factors that
+        # carry the monocular-scale information).
+        tokens = arm.split(":")
+        marginalization.RESTRICTED_SUPPORT = (tokens[0] == "restricted")
+        arm_cfg = cfg
+        for t in tokens[1:]:
+            k, v = t.split("=")
+            if k == "accn":
+                arm_cfg = arm_cfg._replace(estimator=arm_cfg.estimator.
+                                           _replace(acc_n=float(v)))
         # Fresh engine + chunked step per arm so new traces pick up the
         # factorization toggle; reused across seeds (reset()) so each arm
         # pays exactly one compile.
-        engine = VIOEngine(cfg, jnp.float32)
+        engine = VIOEngine(arm_cfg, jnp.float32)
         step_img = chunked.make_chunked_image_step(
-            engine.params, cfg.estimator.num_iterations, cfg.tracker,
-            engine.camera, cfg.camera.focal_length,
+            engine.params, arm_cfg.estimator.num_iterations, arm_cfg.tracker,
+            engine.camera, arm_cfg.camera.focal_length,
         )
         for seed in range(SEEDS):
             data, frames = make_data(100 + seed, cfg, cam)
             t0 = time.perf_counter()
-            r = run_one(engine, step_img, cfg, data, frames)
+            r = run_one(engine, step_img, arm_cfg, data, frames)
             r.update(arm=arm, seed=100 + seed,
                      wall_s=round(time.perf_counter() - t0, 1))
             results.append(r)

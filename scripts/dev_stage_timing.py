@@ -188,6 +188,55 @@ def main():
     t_solve = timed("solve_and_slide (8 LM iters)", engine._solve,
                     engine.state, is_kf, engine.params)
 
+    # Solver sub-parts at the same state/shapes.
+    from mobile_slam_tpu.engine import estimator as est_mod
+    from mobile_slam_tpu.factors import marginalization
+    from mobile_slam_tpu.factors.imu_factor import sqrt_info_from_cov
+    from mobile_slam_tpu.frontend import feature_table as ft
+    from mobile_slam_tpu.models.state import eligible_mask
+    from mobile_slam_tpu.solver import assembly, lm as lm_mod
+
+    st = engine.state
+    pp = engine.params
+    sp = est_mod.solver_params(pp)
+    wdw = st.window
+    tri = jax.jit(ft.triangulate)
+    table = tri(st.table, wdw.p, wdw.q, pp.ex_t, pp.ex_q, pp.init_depth)
+    timed("  triangulate", tri, st.table, wdw.p, wdw.q, pp.ex_t, pp.ex_q,
+          pp.init_depth)
+
+    elig = eligible_mask(table)
+    safe_depth = jnp.where(table.depth > 0, table.depth, pp.init_depth)
+    lam0 = jnp.where(elig, 1.0 / safe_depth, 1.0)
+    x0 = assembly.XState(p=wdw.p, q=wdw.q, v=wdw.v, ba=wdw.ba, bg=wdw.bg,
+                         lam=lam0)
+    imu_sqrt_info = jax.jit(sqrt_info_from_cov)(wdw.pre.cov[1:])
+    imu_valid = (wdw.pre.sum_dt[1:] < 10.0) & (wdw.imu_cnt[1:] > 0)
+    proj_valid = jax.jit(assembly.proj_valid_mask)(table)
+    prior_H0 = st.prior.J0.T @ st.prior.J0
+
+    eqs_fn = jax.jit(lambda x: assembly.build_normal_eqs(
+        x, table, wdw.pre, imu_sqrt_info, imu_valid, st.prior, prior_H0,
+        pp.ex_t, pp.ex_q, sp, proj_valid))
+    eqs = eqs_fn(x0)
+    timed("  build_normal_eqs (x1)", eqs_fn, x0)
+    sd_fn = jax.jit(lambda e: lm_mod._solve_damped(
+        e, jnp.asarray(1e-8, dtype), elig, dtype))
+    timed("  _solve_damped (x1)", sd_fn, eqs)
+    cost_fn = jax.jit(lambda x: assembly.total_cost(
+        x, table, wdw.pre, imu_sqrt_info, imu_valid, st.prior,
+        pp.ex_t, pp.ex_q, sp, proj_valid))
+    timed("  total_cost (x1)", cost_fn, x0)
+    lm_fn = jax.jit(lambda x: lm_mod.solve(
+        x, table, wdw, st.prior, pp.ex_t, pp.ex_q, sp, 8))
+    timed("  lm.solve (8 iters)", lm_fn, x0)
+    mo_fn = jax.jit(lambda x: marginalization.marginalize_old(
+        x, table, wdw, imu_sqrt_info, st.prior, pp.ex_t, pp.ex_q, sp))
+    timed("  marginalize_old", mo_fn, x0)
+    mn_fn = jax.jit(lambda x: marginalization.marginalize_new(
+        x, st.prior, pp.ex_t, pp.ex_q))
+    timed("  marginalize_new", mn_fn, x0)
+
     print("\n--- summary ---")
     known = (t_clahe + t_pyr + t_lk + t_fb + t_anchor + t_shi + t_ransac)
     print(f"frontend stage sum {known:8.3f} ms vs fused full "

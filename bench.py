@@ -438,6 +438,33 @@ def main():
                 est_ts.append(data.cam_ts[start + k])
                 est_p.append(p_np[k])
 
+    # --- Phase 2b: FEATURE-PATH FLEET (B sequences vmapped) --------------
+    # The solver's small dense ops (165-dim Schur/Cholesky, window math)
+    # are latency-bound, so widening them B-fold is nearly free — this is
+    # the per-chip aggregate-throughput scaling axis (multi-chip DP shards
+    # the same batch over a mesh, parallel/batch.py). Timing replays the
+    # staged chunks against a replicated end-state: the feature path has no
+    # data-dependent iteration counts, so the rate is data-independent.
+    fps_feature_fleet = 0.0
+    if len(batches) >= 2:
+        from mobile_slam_tpu.parallel import batch as pbatch
+        Bf = 8
+        fstep = pbatch.make_batched_chunked_step(
+            engine.params, cfg.estimator.num_iterations)
+        fstate = jax.tree.map(lambda x: jnp.stack([x] * Bf), state)
+        fbatches = [jax.tree.map(lambda x: jnp.stack([x] * Bf, axis=1), b)
+                    for b in batches]
+        fstate, fout = fstep(fstate, fbatches[0])   # compile + warmup
+        jax.block_until_ready(fout[0])
+        t_s = time.perf_counter()
+        for b in fbatches[1:]:
+            fstate, fout = fstep(fstate, b)
+        jax.block_until_ready(fout[0])
+        fps_feature_fleet = (Bf * CHUNK * (len(fbatches) - 1)
+                             / (time.perf_counter() - t_s))
+        print(f"[bench] fps_feature_fleet{Bf}={fps_feature_fleet:.1f} "
+              f"({fps_feature_fleet / Bf:.1f}/seq)", file=sys.stderr)
+
     # --- Phase 3: FULL IMAGE PATH (tracker inside the scan) --------------
     # The reference's hot loop is detectAndTrack + processImage
     # (vio_engine.cpp:209-243); this phase measures the same thing: rendered
@@ -470,6 +497,7 @@ def main():
         "fps_streaming": round(fps_stream, 2),
         "fps_image_path": round(fps_image, 2),
         "fps_image_fleet4": round(fps_image_fleet, 2),
+        "fps_feature_fleet8": round(fps_feature_fleet, 2),
         "fps_capacity_1024slots": round(fps_capacity, 2),
         "ate_sim3_rmse_m": round(ate_sim3.rmse, 4),
         "ate_se3_rmse_m": round(ate_se3.rmse, 4),

@@ -237,8 +237,8 @@ def _lk_kernel(pts_ref, active_ref, *refs, params: LKParams, shapes,
     jax.lax.fori_loop(0, k_slots, one_point, 0)
 
 
-def track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
-                    params: LKParams):
+def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
+                     params: LKParams):
     """Drop-in for ops.lk.track_pyramidal on TPU. prev_pyr/next_pyr are
     (H/2^l, W/2^l) float32 images; prev_pts (K, 2); active (K,)."""
     k_slots = prev_pts.shape[0]
@@ -396,8 +396,8 @@ def _refine_kernel(pts_ref, active_ref, img_ref, t_ref, gx_ref, gy_ref,
     jax.lax.fori_loop(0, k_slots, one_point, 0)
 
 
-def refine_template(img, t_patch, gx, gy, pos0, active, window, iters, eps,
-                    max_shift):
+def _refine_template(img, t_patch, gx, gy, pos0, active, window, iters,
+                     eps, max_shift):
     """Drop-in for ops.lk.refine_template on TPU. t_patch/gx/gy are
     (K, window*window) as stored in TrackerState."""
     k_slots = pos0.shape[0]
@@ -478,7 +478,7 @@ def _extract_kernel(pts_ref, img_ref, t_ref, gx_ref, gy_ref, *,
     jax.lax.fori_loop(0, k_slots, one_point, 0)
 
 
-def extract_patches(img, centers, window):
+def _extract_patches(img, centers, window):
     """Drop-in for ops.lk.extract_patches on TPU: (t, gx, gy) each
     (K, window*window). Border behavior: replicate padding (== per-pixel
     clamp); ops/lk.py's full-image Scharr uses reflect-101 padding, so
@@ -517,3 +517,48 @@ def extract_patches(img, centers, window):
     return (t3.reshape(k_slots, window * window),
             gx3.reshape(k_slots, window * window),
             gy3.reshape(k_slots, window * window))
+
+
+def _sequential_vmap(fn, n_array_args):
+    """Make `fn` vmappable by falling back to a sequential lax.map.
+
+    The kernels here hold whole pyramid levels in VMEM and pass per-point
+    coordinates through SMEM scalar blocks; Mosaic cannot auto-batch either
+    (vmap adds a grid dim whose SMEM block shapes violate the (8, 128)
+    alignment rule). Multi-sequence fleet mode (parallel/batch.py) vmaps the
+    full image pipeline, so these entry points batch by running the kernel
+    once per sequence inside lax.map — the rest of the pipeline still
+    batches natively, and kernels on one core are serialized anyway.
+
+    Array arguments (possibly pytrees) must come first; the remaining
+    `len(args) - n_array_args` are static Python values.
+    """
+
+    def wrapper(*args):
+        arr_args = args[:n_array_args]
+        static = args[n_array_args:]
+
+        @jax.custom_batching.custom_vmap
+        def impl(*a):
+            return fn(*a, *static)
+
+        @impl.def_vmap
+        def _rule(axis_size, in_batched, *a):  # noqa: ANN001
+            a_b = jax.tree.map(
+                lambda x, b: x if b else jnp.broadcast_to(
+                    x, (axis_size,) + x.shape),
+                tuple(a), tuple(in_batched),
+            )
+            out = jax.lax.map(lambda xs: fn(*xs, *static), a_b)
+            out_batched = jax.tree.map(lambda _: True, out)
+            return out, out_batched
+
+        return impl(*arr_args)
+
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+track_pyramidal = _sequential_vmap(_track_pyramidal, 4)
+refine_template = _sequential_vmap(_refine_template, 6)
+extract_patches = _sequential_vmap(_extract_patches, 2)

@@ -63,6 +63,40 @@ def make_batched_step(params: est.StaticParams, num_iterations: int,
                    out_shardings=(shard, shard))
 
 
+def make_batched_chunked_step(params: est.StaticParams, num_iterations: int,
+                              mesh: Mesh | None = None, axis: str = "seq"):
+    """Fleet feature-path serving: lax.scan over a T-frame chunk of the
+    vmapped (bookkeeping + solve + slide) step — B sequences advance one
+    frame per scan step in a single program. The solver's small dense ops
+    (165-dim Schur/Cholesky, 11-frame window math) are latency-bound on
+    TPU, so widening them B-fold is nearly free: aggregate fps scales
+    ~linearly with B until the MXU saturates.
+
+    Returns a jitted fn(batched_state, FrameInput with leading (T, B)) ->
+    (batched_state, (p (T,B,3), q (T,B,4), ok (T,B), is_kf (T,B)))."""
+
+    def one(state, inp):
+        state, is_kf = est.bookkeeping_step(state, inp, params)
+        state, p, q, diag = est.solve_and_slide(
+            state, is_kf, params, num_iterations
+        )
+        ok = (diag.state_finite & (diag.vel_norm <= 10.0)
+              & (diag.pos_norm <= 100.0))
+        return state, (p, q, ok, diag.is_keyframe)
+
+    vone = jax.vmap(one)
+
+    def chunk(state, inputs):
+        return jax.lax.scan(vone, state, inputs)
+
+    if mesh is None:
+        return jax.jit(chunk, donate_argnums=(0,))
+    shard_b = NamedSharding(mesh, P(axis))
+    shard_tb = NamedSharding(mesh, P(None, axis))
+    return jax.jit(chunk, in_shardings=(shard_b, shard_tb),
+                   out_shardings=(shard_b, shard_tb), donate_argnums=(0,))
+
+
 def make_batched_image_step(params: est.StaticParams, num_iterations: int,
                             tracker_cfg, camera, focal: float,
                             mesh: Mesh | None = None, axis: str = "seq"):

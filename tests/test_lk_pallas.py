@@ -153,3 +153,44 @@ class TestExtractParity:
                            (gy_x, gy_p, "gy")):
             d = np.abs(np.asarray(a)[interior] - np.asarray(b)[interior])
             assert d.max() < 1e-3, f"{name} diff {d.max()}"
+
+
+class TestSequentialVmap:
+    """The custom_vmap fallback (fleet image mode vmaps the whole pipeline;
+    the kernel batches via sequential lax.map) must equal per-sequence
+    calls exactly."""
+
+    def test_vmapped_track_matches_per_sequence(self, world):
+        img0, img1, p0, p1, _ = world
+        pts, act = _points()
+        # Two "sequences": original and a shifted/flipped variant.
+        p0b = tuple(jnp.stack([a, a[::-1]]) for a in p0)
+        p1b = tuple(jnp.stack([a, a[::-1]]) for a in p1)
+        ptsb = jnp.stack([pts, pts + 1.5])
+        actb = jnp.stack([act, act])
+
+        vmapped = jax.vmap(
+            lambda a, b, c, d: lk_pallas.track_pyramidal(a, b, c, d, PARAMS))
+        pos_v, ok_v = vmapped(p0b, p1b, ptsb, actb)
+        for s in range(2):
+            pos_s, ok_s = lk_pallas.track_pyramidal(
+                tuple(a[s] for a in p0b), tuple(a[s] for a in p1b),
+                ptsb[s], actb[s], PARAMS)
+            np.testing.assert_array_equal(np.asarray(ok_v[s]),
+                                          np.asarray(ok_s))
+            np.testing.assert_allclose(np.asarray(pos_v[s]),
+                                       np.asarray(pos_s), atol=1e-6)
+
+    def test_vmapped_extract_matches_per_sequence(self, world):
+        img0, img1, _, _, _ = world
+        pts, _ = _points()
+        imgs = jnp.stack([jnp.asarray(img0), jnp.asarray(img1)])
+        ptsb = jnp.stack([pts, pts + 2.0])
+        t_v, gx_v, gy_v = jax.vmap(
+            lambda i, p: lk_pallas.extract_patches(i, p, 21))(imgs, ptsb)
+        for s in range(2):
+            t_s, gx_s, gy_s = lk_pallas.extract_patches(imgs[s], ptsb[s], 21)
+            np.testing.assert_allclose(np.asarray(t_v[s]), np.asarray(t_s),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(gy_v[s]), np.asarray(gy_s),
+                                       atol=1e-6)

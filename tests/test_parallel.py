@@ -52,6 +52,47 @@ class TestBatchedStep:
         np.testing.assert_allclose(float(m), np.sqrt(3) * 0.1, rtol=1e-5)
 
 
+class TestBatchedChunkedStep:
+    """Fleet feature-path serving (scan over a chunk of the vmapped step)
+    must equal the single-sequence chunked scan per sequence."""
+
+    def test_batched_chunked_matches_single(self):
+        from mobile_slam_tpu.engine import chunked
+
+        cfg = tiny_config()
+        params = est.make_params(cfg, jnp.float32)
+        B, T = 2, 2
+        states, inps = [], []
+        for s in range(B):
+            st, inp = make_example_state(cfg, params, jnp.float32, seed=s)
+            states.append(st)
+            inps.append(inp)
+
+        def seq_inputs(inp):
+            return jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[inp._replace(ts=inp.ts + 0.05 * t) for t in range(T)])
+
+        step1 = chunked.make_chunked_step(params, cfg.estimator.num_iterations)
+        singles = []
+        for st, inp in zip(states, inps):
+            _, out = step1(jax.tree.map(jnp.copy, st), seq_inputs(inp))
+            singles.append(jax.tree.map(np.asarray, out))
+
+        bstate = pbatch.batch_states(states)
+        binp = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                            *[seq_inputs(i) for i in inps])
+        bstep = pbatch.make_batched_chunked_step(
+            params, cfg.estimator.num_iterations)
+        _, bout = bstep(bstate, binp)
+        bout = jax.tree.map(np.asarray, bout)
+        for s in range(B):
+            p_s, q_s, ok_s, kf_s = singles[s]
+            np.testing.assert_allclose(bout[0][:, s], p_s,
+                                       rtol=2e-3, atol=2e-4)
+            np.testing.assert_array_equal(bout[3][:, s], kf_s)
+
+
 class TestBatchedImageStep:
     """Fleet FULL-image-path mode (parallel.batch.make_batched_image_step):
     B sequences' complete tracker+estimator pipelines vmapped into one

@@ -369,18 +369,20 @@ def main():
             est_p.append(pose_to_body(res.pose))
         if init_frame is None and res.status == Status.TRACKING:
             init_frame = fi
-            engine.enable_pipelined_streaming(True)
-            print(f"[bench] initialized at frame {fi} (pipelined streaming on)",
-                  file=sys.stderr)
-        if init_frame is not None and fi > init_frame + 4:
+            # depth=8: enough frames in flight that the tunnel RTT (~100 ms)
+            # amortizes below device time; pose latency is 8 frames.
+            engine.enable_pipelined_streaming(True, depth=8)
+            print(f"[bench] initialized at frame {fi} (pipelined streaming "
+                  f"on, depth=8)", file=sys.stderr)
+        if init_frame is not None and fi > init_frame + 12:
             stream_times.append(dt_call)
         fi += 1
-        if init_frame is not None and fi >= init_frame + 63:
+        if init_frame is not None and fi >= init_frame + 75:
             break
-    tail = engine.flush()
-    if tail is not None and tail.ok and tail.pose is not None:
-        est_ts.append(tail.ts)
-        est_p.append(pose_to_body(tail.pose))
+    for tail in engine.flush_all():
+        if tail.ok and tail.pose is not None:
+            est_ts.append(tail.ts)
+            est_p.append(pose_to_body(tail.pose))
     engine.enable_pipelined_streaming(False)
     if init_frame is None:
         print(json.dumps({

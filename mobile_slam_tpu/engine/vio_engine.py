@@ -137,10 +137,11 @@ class VIOEngine:
             init_depth=self.params.init_depth,
         ))
         self._key = jax.random.PRNGKey(0)
-        # One-frame-lag streaming (enable_pipelined_streaming): survives
+        # N-frame-lag streaming (enable_pipelined_streaming): survives
         # reset() so a re-initialized engine keeps its streaming contract.
         self._pipelined = False
-        self._pending = None
+        self._pipeline_depth = 1
+        self._pending: list = []
 
         self.reset()
 
@@ -158,7 +159,7 @@ class VIOEngine:
             self.cfg.tracker, self.cfg.camera.height, self.cfg.camera.width,
             self.dtype,
         )
-        self._pending = None  # drop any in-flight pipelined frame
+        self._pending = []  # drop any in-flight pipelined frames
         self._depth_ema: Optional[float] = None  # scale-runaway baseline
         self.status = Status.INITIALIZING
         self.frame_index = 0
@@ -184,7 +185,7 @@ class VIOEngine:
         """Estimator rebuild on failure (vio_engine.cpp:188-207): tracker
         state survives, estimator restarts initialization."""
         self.state = est.init_state(self.cfg, self.params, self.dtype)
-        self._pending = None  # in-flight pipelined frame used the old state
+        self._pending = []  # in-flight pipelined frames used the old state
         self._depth_ema = None
         self.host_frames = []
         self.window_ts = np.zeros(W)
@@ -457,12 +458,11 @@ class VIOEngine:
                 a.copy_to_host_async()
             except Exception:
                 pass
-        prev, self._pending = self._pending, (
-            p_out, q_out, diag, self._cur_frame_ts)
-        if prev is None:
+        self._pending.append((p_out, q_out, diag, self._cur_frame_ts))
+        if len(self._pending) <= self._pipeline_depth:
             return FrameResult(False, self._last_pose, Status.TRACKING,
                                0, False)
-        return self._finalize_tracking(*prev)
+        return self._finalize_tracking(*self._pending.pop(0))
 
     def _check_scale_runaway(self, med_depth: float) -> bool:
         """Update the median-depth EMA baseline; True when the current
@@ -476,20 +476,41 @@ class VIOEngine:
         self._depth_ema += self.DEPTH_EMA_RATE * (med_depth - self._depth_ema)
         return runaway
 
-    def enable_pipelined_streaming(self, on: bool = True) -> None:
-        """Toggle one-frame-lag streaming (see _process_tracking). Results
-        carry .ts identifying which frame the pose belongs to; call flush()
-        at end of stream to drain the last frame."""
+    def enable_pipelined_streaming(self, on: bool = True,
+                                   depth: int = 1) -> None:
+        """Toggle N-frame-lag streaming (see _process_tracking). Results
+        carry .ts identifying which frame the pose belongs to; call
+        flush_all() at end of stream to drain in-flight frames.
+
+        `depth` is the number of frames kept in flight: each push returns
+        the pose from `depth` frames ago, whose async device->host copy has
+        had `depth` call intervals to ride the (possibly high-latency)
+        host<->device link. depth=1 is the reference-like one-frame lag;
+        larger depths trade pose latency for RTT-immunity — failure gates
+        (divergence/scale resets) also observe state `depth` frames late.
+        """
         if not on:
-            self.flush()
+            self.flush_all()
         self._pipelined = on
+        self._pipeline_depth = max(1, int(depth))
 
     def flush(self) -> Optional[FrameResult]:
-        """Finalize the last dispatched frame in pipelined mode."""
-        if self._pending is None:
-            return None
-        prev, self._pending = self._pending, None
-        return self._finalize_tracking(*prev)
+        """Drain all in-flight pipelined frames; returns the final frame's
+        result (use flush_all for every drained result)."""
+        results = self.flush_all()
+        return results[-1] if results else None
+
+    def flush_all(self) -> list:
+        """Finalize every in-flight pipelined frame, in dispatch order."""
+        pending, self._pending = self._pending, []
+        out = []
+        for prev in pending:
+            out.append(self._finalize_tracking(*prev))
+            # A gate trip rebuilt the estimator; later pending frames were
+            # dispatched against the discarded state lineage — drop them.
+            if self.status != Status.TRACKING:
+                break
+        return out
 
     def _finalize_tracking(self, p_out, q_out, diag,
                            ts: Optional[float] = None) -> FrameResult:

@@ -139,14 +139,15 @@ class VIOSystem:
             if frames % self.LIVE_EVERY == 0:
                 self._write_live(res.status, frames, poses)
 
-        tail = self.engine.flush()
-        if tail is not None and tail.ok and tail.pose is not None:
-            poses += 1
-            q_cam = np.asarray(rot.rot_to_quat(jnp.asarray(tail.pose[:3, :3])))
-            self.logger.add_pose(tail.ts, tail.pose[:3, 3], q_cam)
-            est_ts.append(tail.ts)
-            est_p.append(tail.pose[:3, 3])
-            est_q.append(tail.pose[:3, :3].copy())
+        for tail in self.engine.flush_all():
+            if tail.ok and tail.pose is not None:
+                poses += 1
+                q_cam = np.asarray(
+                    rot.rot_to_quat(jnp.asarray(tail.pose[:3, :3])))
+                self.logger.add_pose(tail.ts, tail.pose[:3, 3], q_cam)
+                est_ts.append(tail.ts)
+                est_p.append(tail.pose[:3, 3])
+                est_q.append(tail.pose[:3, :3].copy())
 
         wall = time.time() - t_wall
         summary = RunSummary(

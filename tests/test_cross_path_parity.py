@@ -191,7 +191,7 @@ class TestStreamingVsPipelined:
                          else engine._last_imu.copy())
         pimu_snapshot = [s.copy() for s in engine._pending_imu]
 
-        def run(pipelined):
+        def run(pipelined, depth=1):
             engine.state = jax.tree.map(lambda a: a, state_snapshot)
             engine._banned_ids = banned_snapshot
             engine._last_frame_ts = lft_snapshot
@@ -199,8 +199,9 @@ class TestStreamingVsPipelined:
                                 else limu_snapshot.copy())
             engine._pending_imu = [s.copy() for s in pimu_snapshot]
             engine.status = Status.TRACKING
-            engine._pending = None
+            engine._pending = []
             engine._pipelined = pipelined
+            engine._pipeline_depth = depth
             imu_i = imu_i0
             out = {}
             for fi in range(fi0, n):
@@ -216,18 +217,20 @@ class TestStreamingVsPipelined:
                 if res.ok and res.pose is not None:
                     key = res.ts if res.ts is not None else ts
                     out[round(key, 6)] = res.pose
-            tail = engine.flush()
-            if tail is not None and tail.ok:
-                out[round(tail.ts, 6)] = tail.pose
+            for tail in engine.flush_all():
+                if tail.ok:
+                    out[round(tail.ts, 6)] = tail.pose
             engine._pipelined = False
             return out
 
         sync = run(False)
-        pipe = run(True)
-        common = sorted(set(sync) & set(pipe))
-        assert len(common) > 0.9 * len(sync)
-        dp = np.asarray([np.linalg.norm(sync[t][:3, 3] - pipe[t][:3, 3])
-                         for t in common])
-        # Same program, same inputs, same state; only the readback timing
-        # differs. Results must agree to float32 readback precision.
-        assert dp.max() < 1e-4, f"pipelined diverged: max {dp.max():.2e} m"
+        for depth in (1, 4):
+            pipe = run(True, depth=depth)
+            common = sorted(set(sync) & set(pipe))
+            assert len(common) > 0.9 * len(sync)
+            dp = np.asarray([np.linalg.norm(sync[t][:3, 3] - pipe[t][:3, 3])
+                             for t in common])
+            # Same program, same inputs, same state; only the readback
+            # timing differs. Must agree to float32 readback precision.
+            assert dp.max() < 1e-4, (
+                f"pipelined depth={depth} diverged: max {dp.max():.2e} m")

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import enum
 import functools
+import queue
+import threading
 from typing import NamedTuple, Optional
 
 import jax
@@ -71,6 +73,54 @@ MAX_CONSECUTIVE_FAILURES = 5
 COOLDOWN_FRAMES = 30
 MAX_IMU_DT = 0.5
 MIN_IMU_DT = 1e-4
+
+
+class _PendingFrame:
+    """An in-flight pipelined frame: the packed device result plus a host
+    copy the reader thread fills in off the caller's critical path."""
+
+    __slots__ = ("packed", "ts", "host", "done", "queued")
+
+    def __init__(self, packed, ts):
+        self.packed = packed
+        self.ts = ts
+        self.host = None
+        self.done = threading.Event()
+        self.queued = False
+
+    def resolve(self) -> np.ndarray:
+        """Host copy of the packed result (prefers the reader thread's
+        prefetch; falls back to a direct blocking fetch)."""
+        if (self.queued and self.done.wait(timeout=30.0)
+                and isinstance(self.host, np.ndarray)):
+            return self.host
+        return np.asarray(self.packed, np.float64)
+
+
+def _reader_loop(q: "queue.Queue") -> None:
+    """Engine reader thread: eagerly pulls packed per-frame results to host
+    so _finalize_tracking never pays the device->host round trip on the
+    caller thread (the transfer releases the GIL while it rides the link)."""
+    while True:
+        entry = q.get()
+        if entry is None:
+            return
+        try:
+            entry.host = np.asarray(entry.packed, np.float64)
+        except Exception as e:  # donated/invalid buffer: finalize re-fetches
+            entry.host = e
+        entry.done.set()
+
+
+def _np_quat_to_rot(q: np.ndarray) -> np.ndarray:
+    """Host-side (w,x,y,z) unit quaternion -> 3x3 rotation (numpy mirror of
+    utils.rotations.quat_to_rot for the per-frame output path)."""
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
 
 
 def _map_points_device(table, window, ex_t, ex_q, init_depth):
@@ -125,10 +175,76 @@ class VIOEngine:
             focal=cfg.camera.focal_length,
         ))
         self._book = jax.jit(est.bookkeeping_step)
-        self._solve = jax.jit(functools.partial(
-            est.solve_and_slide,
-            num_iterations=cfg.estimator.num_iterations,
-        ))
+
+        # Packed-input fast path for the TRACKING hot loop: the per-frame
+        # input arrives as ONE flat f32 vector (host->device transfers cost
+        # a round trip each on a remote link; the unpacked FrameInput is ~10
+        # small transfers per frame). Layout: [ts, imu_cnt, imu_dt(M),
+        # imu_acc(3M), imu_gyr(3M)] (+ [ids(K), obs(3K), uv(2K), vel(2K),
+        # valid(K)] in the feature-level variant). Unpacking is free inside
+        # the jitted program. Feature ids ride f32 (exact below 2^24).
+        m_pad = cfg.estimator.max_imu_per_interval
+        k_pad = cfg.tracker.max_points
+
+        def _unflatten_imu(flat):
+            ts = flat[0]
+            cnt = flat[1].astype(jnp.int32)
+            dt = flat[2:2 + m_pad]
+            acc = flat[2 + m_pad:2 + 4 * m_pad].reshape(m_pad, 3)
+            gyr = flat[2 + 4 * m_pad:2 + 7 * m_pad].reshape(m_pad, 3)
+            return ts, cnt, dt, acc, gyr
+
+        def _book_flat(state, flat, params):
+            ts, cnt, dt, acc, gyr = _unflatten_imu(flat)
+            i = 2 + 7 * m_pad
+            ids = jnp.round(flat[i:i + k_pad]).astype(jnp.int32)
+            i += k_pad
+            obs = flat[i:i + 3 * k_pad].reshape(k_pad, 3)
+            i += 3 * k_pad
+            uv = flat[i:i + 2 * k_pad].reshape(k_pad, 2)
+            i += 2 * k_pad
+            vel = flat[i:i + 2 * k_pad].reshape(k_pad, 2)
+            i += 2 * k_pad
+            valid = flat[i:i + k_pad] > 0.5
+            inp = est.FrameInput(ts=ts, ids=ids, obs=obs, uv=uv, vel=vel,
+                                 valid=valid, imu_dt=dt, imu_acc=acc,
+                                 imu_gyr=gyr, imu_cnt=cnt)
+            return est.bookkeeping_step(state, inp, params)
+
+        def _book_dev_feat(state, flat, ids, obs, uv, vel, valid, params):
+            ts, cnt, dt, acc, gyr = _unflatten_imu(flat)
+            inp = est.FrameInput(ts=ts, ids=ids, obs=obs, uv=uv, vel=vel,
+                                 valid=valid, imu_dt=dt, imu_acc=acc,
+                                 imu_gyr=gyr, imu_cnt=cnt)
+            return est.bookkeeping_step(state, inp, params)
+
+        self._book_flat = jax.jit(_book_flat)
+        self._book_dev_feat = jax.jit(_book_dev_feat)
+
+        # The solve returns its pose + every host-gate scalar packed into ONE
+        # (13,) f32 vector so the host fetches the whole per-frame result in a
+        # single device->host transfer. Reading pose/diag field-by-field costs
+        # one round trip per field — ~9 RTTs/frame, which dominates per-call
+        # latency on any remote-device link (and is pure overhead even on
+        # PCIe). Layout: [p(3), q(4), vel, pos, med_depth, finite, kf, n_trk].
+        def _solve_packed(state, is_kf, params,
+                          _n=cfg.estimator.num_iterations):
+            state, p_out, q_out, diag = est.solve_and_slide(
+                state, is_kf, params, num_iterations=_n)
+            f32 = jnp.float32
+            packed = jnp.concatenate([
+                p_out.astype(f32), q_out.astype(f32),
+                jnp.stack([
+                    diag.vel_norm.astype(f32), diag.pos_norm.astype(f32),
+                    diag.med_depth.astype(f32),
+                    diag.state_finite.astype(f32),
+                    diag.is_keyframe.astype(f32),
+                    diag.last_track_num.astype(f32),
+                ]),
+            ])
+            return state, packed, diag
+
+        self._solve = jax.jit(_solve_packed)
         self._init_slide = jax.jit(est.initial_advance_or_slide)
         self._apply_init = jax.jit(est.apply_initialization)
         self._map_points = jax.jit(functools.partial(
@@ -142,6 +258,8 @@ class VIOEngine:
         self._pipelined = False
         self._pipeline_depth = 1
         self._pending: list = []
+        self._read_q: Optional[queue.Queue] = None
+        self._reader: Optional[threading.Thread] = None
 
         self.reset()
 
@@ -293,16 +411,21 @@ class VIOEngine:
         valid_np[:n] = True if valid is None else np.asarray(valid, bool)
         return self._process_tracked(
             frame_ts,
-            ids=jnp.asarray(ids_p),
-            obs=jnp.asarray(pad(np.asarray(rays), (3,)), self.dtype),
-            uv=jnp.asarray(pad(uv if uv is not None else np.zeros((n, 2)),
-                               (2,)), self.dtype),
-            vel=jnp.asarray(pad(vel if vel is not None else np.zeros((n, 2)),
-                                (2,)), self.dtype),
-            valid=jnp.asarray(valid_np),
+            host_feat=(
+                ids_p,
+                pad(np.asarray(rays), (3,)),
+                pad(uv if uv is not None else np.zeros((n, 2)), (2,)),
+                pad(vel if vel is not None else np.zeros((n, 2)), (2,)),
+                valid_np,
+            ),
         )
 
-    def _process_tracked(self, frame_ts, ids, obs, uv, vel, valid) -> FrameResult:
+    def _process_tracked(self, frame_ts, ids=None, obs=None, uv=None,
+                         vel=None, valid=None, host_feat=None) -> FrameResult:
+        """Shared frame pipeline. Features arrive either as device arrays
+        (image path: ids/obs/uv/vel/valid are tracker outputs already on
+        device) or as padded host arrays (feature path: host_feat tuple,
+        packed into the single-transfer fast path while TRACKING)."""
         if self._t0 is None:
             self._t0 = frame_ts
         if self._first_frame_time is None:
@@ -320,6 +443,51 @@ class VIOEngine:
         dts, accs, gyrs = self._drain_imu(frame_ts)
         m_pad = self.cfg.estimator.max_imu_per_interval
         m = min(len(dts), m_pad)
+        imu_flat = np.zeros(2 + 7 * m_pad, np.float32)
+        imu_flat[0] = frame_ts - self._t0
+        imu_flat[1] = m
+        imu_flat[2:2 + m] = dts[:m]
+        imu_flat[2 + m_pad:2 + m_pad + 3 * m] = np.ravel(accs[:m])
+        imu_flat[2 + 4 * m_pad:2 + 4 * m_pad + 3 * m] = np.ravel(gyrs[:m])
+
+        if self.status == Status.TRACKING:
+            # Hot loop: one host->device transfer, no host reads of device
+            # values (window full; frame_count pinned at W-1).
+            if host_feat is not None:
+                ids_p, obs_p, uv_p, vel_p, valid_p = host_feat
+                flat = np.concatenate([
+                    imu_flat, ids_p.astype(np.float32),
+                    np.ravel(obs_p).astype(np.float32),
+                    np.ravel(uv_p).astype(np.float32),
+                    np.ravel(vel_p).astype(np.float32),
+                    valid_p.astype(np.float32),
+                ])
+                self.state, is_kf = self._book_flat(
+                    self.state, jnp.asarray(flat, self.dtype), self.params)
+                n_track = int(valid_p.sum())
+            else:
+                self.state, is_kf = self._book_dev_feat(
+                    self.state, jnp.asarray(imu_flat, self.dtype),
+                    ids, obs, uv, vel, valid, self.params)
+                n_track = None  # image path: diag.last_track_num covers it
+            self._cur_frame_ts = frame_ts  # tags the pipelined pending entry
+            self.window_ts[W - 1] = frame_ts
+            result = self._process_tracking(is_kf)
+            if (result.status == Status.TRACKING and not self._pipelined
+                    and n_track is not None):
+                result = result._replace(num_features=n_track)
+            self._last_frame_ts = frame_ts
+            self.frame_index += 1
+            return result
+
+        # ---- INITIALIZING path (per-frame host work is expected here) ----
+        if host_feat is not None:
+            ids_p, obs_p, uv_p, vel_p, valid_p = host_feat
+            ids = jnp.asarray(ids_p)
+            obs = jnp.asarray(obs_p, self.dtype)
+            uv = jnp.asarray(uv_p, self.dtype)
+            vel = jnp.asarray(vel_p, self.dtype)
+            valid = jnp.asarray(valid_p)
 
         def pad(a, shape):
             out = np.zeros((m_pad,) + shape)
@@ -336,22 +504,11 @@ class VIOEngine:
         )
 
         self.state, is_kf = self._book(self.state, inp, self.params)
-        self._cur_frame_ts = frame_ts  # tags the pipelined pending entry
-        if self.status == Status.TRACKING:
-            # Window is full while tracking (frame_count pinned at W-1);
-            # skipping the device readback keeps the hot path sync-free.
-            self.window_ts[W - 1] = frame_ts
-            result = self._process_tracking(is_kf)
-            if result.status == Status.TRACKING and not self._pipelined:
-                # In pipelined mode this readback would block on the
-                # in-flight frame; diag.last_track_num already covers it.
-                result = result._replace(
-                    num_features=int(np.sum(np.asarray(valid))))
-        else:
-            fc = int(self.state.frame_count)
-            self.window_ts[min(fc, W - 1)] = frame_ts
-            result = self._process_initializing(inp, is_kf, frame_ts,
-                                                ids, obs, dts, accs, gyrs)
+        self._cur_frame_ts = frame_ts
+        fc = int(self.state.frame_count)
+        self.window_ts[min(fc, W - 1)] = frame_ts
+        result = self._process_initializing(inp, is_kf, frame_ts,
+                                            ids, obs, dts, accs, gyrs)
 
         self._last_frame_ts = frame_ts
         self.frame_index += 1
@@ -434,7 +591,7 @@ class VIOEngine:
         return FrameResult(False, None, Status.INITIALIZING, n_feat, bool(is_kf))
 
     def _process_tracking(self, is_kf) -> FrameResult:
-        self.state, p_out, q_out, diag = self._solve(
+        self.state, packed, diag = self._solve(
             self.state, is_kf, self.params
         )
         # Outlier-ban feedback to the tracker rides device-to-device; no
@@ -442,27 +599,29 @@ class VIOEngine:
         self._banned_ids = diag.culled_ids
 
         if not self._pipelined:
-            return self._finalize_tracking(p_out, q_out, diag)
+            return self._finalize_tracking(packed)
 
         # Pipelined (one-frame-lag) streaming: the reference's real-time
         # contract is a per-frame push API (include/vio_engine.h:57-60); on
         # a chip behind a network tunnel, blocking on THIS frame's readback
         # makes every call RTT-bound. Instead: dispatch this frame's
-        # program, kick off async device->host copies, and return the
-        # PREVIOUS frame's pose — whose copy has had a full frame interval
-        # to arrive. Per-call cost becomes device-time-bound.
-        for a in (p_out, q_out, diag.vel_norm, diag.pos_norm,
-                  diag.state_finite, diag.is_keyframe, diag.last_track_num,
-                  diag.med_depth):
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-        self._pending.append((p_out, q_out, diag, self._cur_frame_ts))
+        # program, hand the packed result to the reader thread (which eats
+        # the device->host round trip off the caller's critical path), and
+        # return the pose from `depth` frames ago — already fetched by the
+        # time we need it. Per-call cost becomes device-time-bound.
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        entry = _PendingFrame(packed, self._cur_frame_ts)
+        if self._read_q is not None:
+            entry.queued = True
+            self._read_q.put(entry)
+        self._pending.append(entry)
         if len(self._pending) <= self._pipeline_depth:
             return FrameResult(False, self._last_pose, Status.TRACKING,
                                0, False)
-        return self._finalize_tracking(*self._pending.pop(0))
+        return self._finalize_tracking(self._pending.pop(0))
 
     def _check_scale_runaway(self, med_depth: float) -> bool:
         """Update the median-depth EMA baseline; True when the current
@@ -491,6 +650,12 @@ class VIOEngine:
         """
         if not on:
             self.flush_all()
+        if on and self._read_q is None:
+            self._read_q = queue.Queue()
+            self._reader = threading.Thread(
+                target=_reader_loop, args=(self._read_q,), daemon=True,
+                name="vio-readback")
+            self._reader.start()
         self._pipelined = on
         self._pipeline_depth = max(1, int(depth))
 
@@ -505,22 +670,33 @@ class VIOEngine:
         pending, self._pending = self._pending, []
         out = []
         for prev in pending:
-            out.append(self._finalize_tracking(*prev))
+            out.append(self._finalize_tracking(prev))
             # A gate trip rebuilt the estimator; later pending frames were
             # dispatched against the discarded state lineage — drop them.
             if self.status != Status.TRACKING:
                 break
         return out
 
-    def _finalize_tracking(self, p_out, q_out, diag,
+    def _finalize_tracking(self, packed,
                            ts: Optional[float] = None) -> FrameResult:
-        if bool(diag.is_keyframe):
+        # ONE device->host transfer for the whole per-frame result (see
+        # _solve_packed): pose + every gate scalar arrive together — and in
+        # pipelined mode the reader thread has usually already landed it.
+        if isinstance(packed, _PendingFrame):
+            ts = packed.ts
+            v = packed.resolve()
+        else:
+            v = np.asarray(packed, np.float64)
+        p_np, q_np = v[:3], v[3:7]
+        vel, pos, med_depth = float(v[7]), float(v[8]), float(v[9])
+        finite = bool(v[10] > 0.5)
+        is_kf = bool(v[11] > 0.5)
+        n_feat = int(v[12])
+
+        if is_kf:
             self.window_ts[:-1] = self.window_ts[1:]
         else:
             self.window_ts[W - 2] = self.window_ts[W - 1]
-
-        p_np = np.asarray(p_out, np.float64)
-        q_np = np.asarray(q_out, np.float64)
 
         # Estimator-level divergence resets (estimator.cpp:218-251), plus a
         # monocular scale-runaway gate beyond the reference: depth inflation
@@ -529,10 +705,7 @@ class VIOEngine:
         # landmarks seeded deeper — which drifts tens of meters while every
         # reference gate stays silent (observed: median depth 2.8 -> 252 m
         # over 8 s with |v| 6x ground truth and TRACKING status throughout).
-        vel = float(diag.vel_norm)
-        pos = float(diag.pos_norm)
-        finite = bool(diag.state_finite)
-        scale_runaway = self._check_scale_runaway(float(diag.med_depth))
+        scale_runaway = self._check_scale_runaway(med_depth)
         if not finite or vel > 10.0 or pos > 100.0 or scale_runaway:
             self._consecutive_failures += 1
             if self._consecutive_failures >= MAX_CONSECUTIVE_FAILURES:
@@ -553,17 +726,17 @@ class VIOEngine:
         # _process_tracking — re-applying here would regress it by one
         # frame in pipelined mode)
 
-        # Camera pose output (vio_engine.cpp:293-305).
-        r_wb = np.asarray(rot.quat_to_rot(jnp.asarray(q_np)))
+        # Camera pose output (vio_engine.cpp:293-305). Pure host math — a
+        # device-dispatched quat_to_rot on 4 floats would cost a round trip.
+        r_wb = _np_quat_to_rot(q_np)
         r_ic = self.cfg.camera.r_ic_mat
         t_ic = self.cfg.camera.t_ic_vec
         pose = np.eye(4)
         pose[:3, :3] = r_wb @ r_ic
         pose[:3, 3] = p_np + r_wb @ t_ic
         self._last_pose = pose
-        n_feat = int(diag.last_track_num)
         return FrameResult(True, pose, Status.TRACKING, n_feat,
-                           bool(diag.is_keyframe), ts=ts)
+                           is_kf, ts=ts)
 
     # ------------------------------------------------------------------
     # Introspection (vio_engine.cpp:313-352)

@@ -179,11 +179,15 @@ def main():
         tokens = arm.split(":")
         marginalization.RESTRICTED_SUPPORT = (tokens[0] == "restricted")
         arm_cfg = cfg
+        import dataclasses as _dc
         for t in tokens[1:]:
             k, v = t.split("=")
             if k == "accn":
-                arm_cfg = arm_cfg._replace(estimator=arm_cfg.estimator.
-                                           _replace(acc_n=float(v)))
+                arm_cfg = arm_cfg.replace(estimator=_dc.replace(
+                    arm_cfg.estimator, acc_n=float(v)))
+            elif k == "iters":
+                arm_cfg = arm_cfg.replace(estimator=_dc.replace(
+                    arm_cfg.estimator, num_iterations=int(v)))
         # Fresh engine + chunked step per arm so new traces pick up the
         # factorization toggle; reused across seeds (reset()) so each arm
         # pays exactly one compile.

@@ -67,10 +67,15 @@ def tangent_dir_scale(x, elig):
 
 
 def tangent_dir_yaw(x, elig, g_world):
-    """Gauge: rotation of the whole window about gravity at pose 0."""
+    """Gauge: rotation of the whole window about gravity at pose 0.
+
+    The solver's rotation tangent is BODY-frame (retract is q ⊗ δq(dθ),
+    lm.py:_retract / rotations.quat_boxplus), so the world-axis generator
+    must be expressed in each body frame: dθ_i = R_i^T ax."""
     ax = g_world / (jnp.linalg.norm(g_world) + 1e-12)
     dp = jnp.cross(jnp.broadcast_to(ax, x.p.shape), x.p - x.p[0])
-    dth = jnp.broadcast_to(ax, (W, 3))
+    r_wb = jax.vmap(rot.quat_to_rot)(x.q)                        # (W,3,3)
+    dth = jnp.einsum("wij,i->wj", r_wb, ax)                      # R^T ax
     dv = jnp.cross(jnp.broadcast_to(ax, x.v.shape), x.v)
     return pack_dir(dp, dth, dv, jnp.zeros_like(x.lam))
 

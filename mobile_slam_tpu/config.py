@@ -109,6 +109,13 @@ class TrackerConfig:
     # XLA's gather-based formulation serializes to ~400 ms/frame; plain XLA
     # on CPU). True/False force it.
     use_pallas: bool | None = None
+    # Corner detection runs only when at least this many point slots need
+    # refilling. 1 = top up every frame (the reference's behavior,
+    # feature_tracker.cpp:185-186); higher values refill in bursts, which
+    # skips the Shi-Tomasi/occupancy/NMS block on most TRACKING frames
+    # (lax.cond executes one branch on TPU) at the cost of the live count
+    # dipping up to this far below max_cnt.
+    refill_min_deficit: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

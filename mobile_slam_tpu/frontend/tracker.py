@@ -229,19 +229,31 @@ def detect_and_track(
     n_kept = jnp.sum(active)
 
     # --- Shi-Tomasi refill (:185-186) -----------------------------------
-    response = corners.min_eig_response(img)
-    if cfg.fisheye:
-        yy = jnp.arange(h, dtype=dtype)[:, None] - h / 2.0
-        xx = jnp.arange(w, dtype=dtype)[None, :] - w / 2.0
-        rad = jnp.sqrt(yy * yy + xx * xx)
-        response = jnp.where(rad < min(h, w) / 2.0 - 4.0, response, 0.0)
-    response = corners.occupancy_suppression(
-        response, new_pts, active, cfg.min_dist
-    )
-    cand_pts, cand_valid = corners.detect_grid(
-        response, cfg.min_dist, K, quality_level=cfg.quality_level
-    )
+    # Gated on the slot deficit: with refill_min_deficit > 1, the whole
+    # response/occupancy/NMS block is skipped (lax.cond runs one branch on
+    # TPU) while tracking keeps the count within the deficit band.
     n_needed = jnp.clip(cfg.max_cnt - n_kept, 0, K)
+
+    def do_detect(_):
+        response = corners.min_eig_response(img)
+        if cfg.fisheye:
+            yy = jnp.arange(h, dtype=dtype)[:, None] - h / 2.0
+            xx = jnp.arange(w, dtype=dtype)[None, :] - w / 2.0
+            rad = jnp.sqrt(yy * yy + xx * xx)
+            response = jnp.where(rad < min(h, w) / 2.0 - 4.0, response, 0.0)
+        response = corners.occupancy_suppression(
+            response, new_pts, active, cfg.min_dist
+        )
+        return corners.detect_grid(
+            response, cfg.min_dist, K, quality_level=cfg.quality_level
+        )
+
+    def skip_detect(_):
+        return (jnp.zeros((K, 2), dtype), jnp.zeros((K,), bool))
+
+    cand_pts, cand_valid = jax.lax.cond(
+        n_needed >= max(1, cfg.refill_min_deficit),
+        do_detect, skip_detect, None)
     cand_rank = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
     take = cand_valid & (cand_rank < n_needed)
 

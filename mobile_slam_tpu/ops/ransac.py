@@ -32,21 +32,32 @@ def _hartley_normalize(pts, valid):
 
 
 def _eight_point(p1, p2):
-    """F from 8 correspondences (..., 8, 2) via the nullspace of A."""
+    """F from 8 correspondences (..., 8, 2) via the f9=1 parameterization.
+
+    Solving A[:, :8] f8 = -A[:, 8] (batched 8x8 LU) replaces the batched
+    9x9 eigensolve: eigh is an iterative, scalar-heavy op on TPU, while a
+    fixed-size LU is one pass. Degenerate draws (true F33 ~ 0, or a
+    singular sample) produce garbage hypotheses that simply score zero
+    inliers and lose the vote — RANSAC is robust to bad hypotheses by
+    construction. Rank-2 enforcement is deferred to the winning model
+    (find_fundamental_ransac below); epipolar-distance scoring measures
+    algebraic fit and does not need it.
+    """
     x1, y1 = p1[..., 0], p1[..., 1]
     x2, y2 = p2[..., 0], p2[..., 1]
     ones = jnp.ones_like(x1)
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (..., 8, 9)
-    AtA = jnp.einsum("...ri,...rj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[..., 0]
-    F = f.reshape(f.shape[:-1] + (3, 3))
-    # Rank-2 enforcement.
-    u, s, vt = jnp.linalg.svd(F)
-    s = s.at[..., 2].set(0.0)
-    return u @ (s[..., :, None] * vt)
+    f8 = jnp.linalg.solve(A[..., :8], -A[..., 8][..., None])[..., 0]
+    f = jnp.concatenate([f8, jnp.ones_like(f8[..., :1])], axis=-1)
+    # Degenerate samples (duplicate points -> singular A) must score ZERO
+    # inliers, not zero distance: poison them with NaN so every epipolar
+    # comparison comes out False. (A zero matrix would give d=0 for all
+    # points and win the vote with a spurious full-inlier score.)
+    f = jnp.where(jnp.all(jnp.isfinite(f8), axis=-1, keepdims=True), f,
+                  jnp.nan)
+    return f.reshape(f.shape[:-1] + (3, 3))
 
 
 def _epipolar_dist(F, p1, p2):
@@ -93,7 +104,9 @@ def find_fundamental_ransac(
     best = jnp.argmax(scores)
 
     # Refit on the best hypothesis' inliers (normalized coords, weighted
-    # nullspace), then rescore.
+    # f9=1 least squares), then rescore. A degenerate refit yields a
+    # garbage model that the `better` vote below rejects in favor of the
+    # winning hypothesis, so no fallback branch is needed.
     w = inl[best].astype(dtype)
     x1, y1 = p1n[:, 0], p1n[:, 1]
     x2, y2 = p2n[:, 0], p2n[:, 1]
@@ -101,17 +114,26 @@ def find_fundamental_ransac(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
          jnp.ones_like(x1)], axis=-1)
     AtA = jnp.einsum("ri,r,rj->ij", A, w, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    Fr = vecs[:, 0].reshape(3, 3)
+    f8 = jnp.linalg.solve(
+        AtA[:8, :8] + 1e-10 * jnp.eye(8, dtype=dtype), -AtA[:8, 8])
+    Fr = jnp.concatenate([f8, jnp.ones_like(f8[:1])]).reshape(3, 3)
+    # Rank-2 enforcement on the final model only (one 3x3 SVD).
     u, s, vt = jnp.linalg.svd(Fr)
     Fr = u @ (s.at[2].set(0.0)[:, None] * vt)
     Fr = T2.T @ Fr @ T1
-    # Keep the refit only if it does not lose inliers.
+    Fr = jnp.where(jnp.all(jnp.isfinite(Fr)), Fr, jnp.eye(3, dtype=dtype))
+    # Rank-2-enforce the winning raw hypothesis too (hypotheses skip
+    # enforcement for speed) and rescore both candidates consistently, so
+    # the returned model is always a valid rank-2 F matching its status.
+    ub, sb, vtb = jnp.linalg.svd(F[best])
+    Fb = ub @ (sb.at[2].set(0.0)[:, None] * vtb)
+    d_best = _epipolar_dist(Fb, pts1, pts2)
+    inl_best = (d_best < threshold) & valid
     d_refit = _epipolar_dist(Fr, pts1, pts2)
     inl_refit = (d_refit < threshold) & valid
-    better = jnp.sum(inl_refit) >= scores[best]
-    F_out = jnp.where(better, Fr, F[best])
-    status = jnp.where(better, inl_refit, inl[best])
+    better = jnp.sum(inl_refit) >= jnp.sum(inl_best)
+    F_out = jnp.where(better, Fr, Fb)
+    status = jnp.where(better, inl_refit, inl_best)
     return F_out, status
 
 

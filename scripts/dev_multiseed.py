@@ -188,6 +188,11 @@ def main():
             elif k == "iters":
                 arm_cfg = arm_cfg.replace(estimator=_dc.replace(
                     arm_cfg.estimator, num_iterations=int(v)))
+            elif k == "sqrtnew":
+                marginalization.SQRT_MARGIN_NEW = v not in ("0", "false")
+            elif k == "refill":
+                arm_cfg = arm_cfg.replace(tracker=_dc.replace(
+                    arm_cfg.tracker, refill_min_deficit=int(v)))
         # Fresh engine + chunked step per arm so new traces pick up the
         # factorization toggle; reused across seeds (reset()) so each arm
         # pays exactly one compile.

@@ -139,6 +139,52 @@ def _sqrt_factorize_dense(H, g):
 RESTRICTED_SUPPORT = False
 _SUP_N = len(_SUPPORT)
 
+# Square-root margin-new: eliminate the dropped pose block directly from the
+# prior's square root (J0, r0) with 6 Householder reflections instead of
+# forming H = J0ᵀJ0, Schur-eliminating, and re-eigendecomposing. The two are
+# algebraically identical (an orthogonal Q preserves JᵀJ; dropping the
+# triangularized rows IS the Schur complement, incl. the rank-deficient case
+# — a zero pivot column skips its reflection and the dropped row carries
+# nothing; validated to 4e-15 against the f64 pseudo-inverse Schur). In f32
+# they are NOT equivalent: the dense path squares the prior — κ(H) ≈ κ(J)²
+# ~ 1e9, putting the weakly-observable monocular-scale direction (2e-6
+# relative curvature, scripts/dev_scale_observability.py) within ~20x of
+# eigh's truncation floor (measured soft-direction error: dense 60x, QR
+# 5e-6) — and it is ~10x cheaper (6 rank-1 updates vs a 171-dim eigh).
+#
+# E2E VERDICT (8 seeds x 14 s image path on chip, /tmp/multiseed_sq2.json
+# 2026-08-17): dense median 0.030 m / max 0.046 m; sqrt median 0.031 m /
+# max 0.187 m (one soft-tail seed, no gate trips). Same pattern as
+# RESTRICTED_SUPPORT above: the per-call-better factorization does NOT win
+# end-to-end — dense-eigh's truncation of the sub-eps scale direction acts
+# as a regularizer (the noise it drops is re-supplied as fresh IMU scale
+# information each frame), while the faithful sqrt path propagates the
+# prior's correlated noise. DENSE stays default on the same evidence
+# standard; the sqrt path is the round-3 lead for a FULL square-root
+# pipeline (incl. margin-old, where the fresh-factor information enters).
+SQRT_MARGIN_NEW = False
+
+
+def _householder_eliminate(M: jax.Array, cols):
+    """Triangularize the given columns of M = [J | r] with one Householder
+    reflection per column (static unroll), then return M with the first
+    len(cols) rows (the triangular part that carries the eliminated DOFs)
+    dropped and zero rows appended to keep the shape."""
+    n = len(cols)
+    for k, c in enumerate(cols):
+        x = M[:, c].at[:k].set(0.0)       # rows 0..k-1 are already fixed
+        sigma = jnp.sqrt(jnp.sum(x * x))
+        # Reflection v = x + sign(x_k)·‖x‖·e_k; a (near-)zero column means
+        # the prior does not constrain this DOF — skip via beta = 0.
+        sgn = jnp.where(x[k] >= 0, 1.0, -1.0).astype(M.dtype)
+        v = x.at[k].add(sgn * sigma)
+        vtv = jnp.sum(v * v)
+        beta = jnp.where(sigma > 1e-20, 2.0 / jnp.maximum(vtv, 1e-38), 0.0)
+        M = M - beta * jnp.outer(v, v @ M)
+    out = M[n:]
+    return jnp.concatenate(
+        [out, jnp.zeros((n,) + out.shape[1:], M.dtype)], axis=0)
+
 
 def _sqrt_factorize(H, g):
     if not RESTRICTED_SUPPORT:
@@ -230,12 +276,28 @@ def marginalize_new(
 
     dx = assembly.prior_dx(prior, x, ex_t, ex_q)
     r = prior.r0 + prior.J0 @ dx
+    P = _perm("new", dtype)
+
+    if SQRT_MARGIN_NEW:
+        # Orthogonal column elimination straight on the square root: see
+        # the SQRT_MARGIN_NEW note above for why this beats squaring.
+        M = jnp.concatenate([prior.J0, r[:, None]], axis=1)  # (S, S+1)
+        M = _householder_eliminate(M, list(range(c0, c0 + 6)))
+        zcols = jnp.ones((S,), dtype).at[c0:c0 + 6].set(0.0)
+        J2 = M[:, :S] * zcols[None, :]   # clear roundoff in dropped cols
+        r0_new = M[:, S]
+        J0_new = J2 @ P.T                # column relabel (rows untouched)
+        new_prior = Prior(J0=J0_new, r0=r0_new,
+                          **_permuted_linearization("new", x, ex_t, ex_q))
+        return jax.tree.map(
+            lambda a, b: jnp.where(coupled, a, b), new_prior, prior
+        )
+
     H = prior.J0.T @ prior.J0
     g = prior.J0.T @ r
 
     idx = jnp.arange(c0, c0 + 6, dtype=jnp.int32)
     H2, g2 = _eliminate_frame_block(H, g, idx)
-    P = _perm("new", dtype)
     H2 = P @ H2 @ P.T
     g2 = P @ g2
     J0, r0 = _sqrt_factorize(H2, g2)

@@ -193,6 +193,9 @@ def main():
             elif k == "refill":
                 arm_cfg = arm_cfg.replace(tracker=_dc.replace(
                     arm_cfg.tracker, refill_min_deficit=int(v)))
+            elif k == "luransac":
+                from mobile_slam_tpu.ops import ransac as _rs
+                _rs.USE_LU_HYPOTHESES = v not in ("0", "false")
         # Fresh engine + chunked step per arm so new traces pick up the
         # factorization toggle; reused across seeds (reset()) so each arm
         # pays exactly one compile.

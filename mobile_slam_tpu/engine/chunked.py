@@ -24,21 +24,29 @@ from mobile_slam_tpu.frontend import tracker as trk
 # Scale-runaway gate constants, shared with the streaming engine (see the
 # rationale comment on the VIOEngine class).
 _DEPTH_RUNAWAY_FACTOR = VIOEngine.DEPTH_RUNAWAY_FACTOR
+_VEL_RUNAWAY_FACTOR = VIOEngine.VEL_RUNAWAY_FACTOR
 _DEPTH_EMA_RATE = VIOEngine.DEPTH_EMA_RATE
 
 
-def scale_gate(depth_ema: jax.Array, med_depth: jax.Array):
+def scale_gate(depth_ema: jax.Array, vel_ema: jax.Array,
+               med_depth: jax.Array, vel: jax.Array):
     """Device-side scale-runaway gate: mirrors
-    VIOEngine._check_scale_runaway (median solved depth vs slow EMA
-    baseline; ema == 0 encodes "uninitialized"). Returns (new_ema, runaway).
-    """
+    VIOEngine._check_scale_runaway (median solved depth AND |v| vs slow
+    EMA baselines — runaway inflates both jointly, viewpoint changes only
+    depth; ema == 0 encodes "uninitialized"). Returns
+    (new_depth_ema, new_vel_ema, runaway)."""
     has_depth = med_depth > 0
     ema0 = jnp.where(depth_ema > 0, depth_ema, med_depth)
-    runaway = has_depth & (med_depth > _DEPTH_RUNAWAY_FACTOR * ema0)
+    vema0 = jnp.maximum(jnp.where(depth_ema > 0, vel_ema, vel), 0.05)
+    runaway = (has_depth & (med_depth > _DEPTH_RUNAWAY_FACTOR * ema0)
+               & (vel > _VEL_RUNAWAY_FACTOR * vema0))
     ema1 = jnp.where(has_depth,
                      ema0 + _DEPTH_EMA_RATE * (med_depth - ema0),
                      depth_ema)
-    return ema1, runaway
+    vema1 = jnp.where(has_depth,
+                      vema0 + _DEPTH_EMA_RATE * (vel - vema0),
+                      vel_ema)
+    return ema1, vema1, runaway
 
 
 def make_chunked_step(params: est.StaticParams, num_iterations: int):
@@ -87,6 +95,7 @@ class ImageChunkCarry(NamedTuple):
     banned_ids: jax.Array   # (F,) estimator outlier feedback to the tracker
     key: jax.Array          # PRNG key for RANSAC hypothesis sampling
     depth_ema: jax.Array    # () slow median-depth baseline; 0 = uninitialized
+    vel_ema: jax.Array      # () slow |v| baseline for the runaway gate
 
 
 def make_image_frame_step(params: est.StaticParams, num_iterations: int,
@@ -100,11 +109,12 @@ def make_image_frame_step(params: est.StaticParams, num_iterations: int,
     (carry, (p (3,), q (4,), ok (), is_kf ())), suitable for lax.scan
     (make_chunked_image_step) or vmap (parallel.batch fleet mode)."""
 
-    def one_frame(carry: ImageChunkCarry, inp: ImageFrameInput):
+    def one_frame(carry: ImageChunkCarry, scan_x):
+        inp, pre = scan_x
         key, sub = jax.random.split(carry.key)
         tstate, tout = trk.detect_and_track(
             carry.tracker_state, inp.img, inp.ts, camera, tracker_cfg,
-            sub, focal, banned_ids=carry.banned_ids,
+            sub, focal, banned_ids=carry.banned_ids, preprocessed=pre,
         )
         finp = est.FrameInput(
             ts=inp.ts, ids=tout.ids, obs=tout.obs, uv=tout.uv,
@@ -118,10 +128,12 @@ def make_image_frame_step(params: est.StaticParams, num_iterations: int,
         )
         # Chunked mode has no host gates, so the scale-runaway check runs
         # on device inside the scan.
-        ema1, runaway = scale_gate(carry.depth_ema, diag.med_depth)
+        ema1, vema1, runaway = scale_gate(carry.depth_ema, carry.vel_ema,
+                                          diag.med_depth, diag.vel_norm)
         ok = (diag.state_finite & (diag.vel_norm <= 10.0)
               & (diag.pos_norm <= 100.0) & ~runaway)
-        return (ImageChunkCarry(state, tstate, diag.culled_ids, key, ema1),
+        return (ImageChunkCarry(state, tstate, diag.culled_ids, key,
+                                ema1, vema1),
                 (p, q, ok, diag.is_keyframe))
 
     return one_frame
@@ -139,7 +151,14 @@ def make_chunked_image_step(params: est.StaticParams, num_iterations: int,
                                       camera, focal)
 
     def chunk(carry, inputs):
-        return jax.lax.scan(one_frame, carry, inputs)
+        # State-independent image work (CLAHE/pyramid/corner response) is
+        # batched across the whole chunk OUTSIDE the sequential scan:
+        # batched image ops utilize the chip far better than the same ops
+        # issued one frame at a time inside the scan, and XLA can overlap
+        # this block with nothing serial ahead of it.
+        pre = jax.vmap(lambda im_: trk.preprocess_frame(im_, tracker_cfg))(
+            inputs.img)
+        return jax.lax.scan(one_frame, carry, (inputs, pre))
 
     return jax.jit(chunk, donate_argnums=(0,))
 

@@ -152,6 +152,7 @@ class VIOEngine:
     # that track the baseline; runaway (observed ~1.3x/s compounding)
     # outruns it within a few seconds.
     DEPTH_RUNAWAY_FACTOR = 3.0
+    VEL_RUNAWAY_FACTOR = 2.0
     DEPTH_EMA_RATE = 0.005
 
     def __init__(self, cfg: VIOConfig, dtype=jnp.float32):
@@ -279,6 +280,7 @@ class VIOEngine:
         )
         self._pending = []  # drop any in-flight pipelined frames
         self._depth_ema: Optional[float] = None  # scale-runaway baseline
+        self._vel_ema: float = 0.05
         self.status = Status.INITIALIZING
         self.frame_index = 0
         self.host_frames: list[HostFrame] = []
@@ -305,6 +307,7 @@ class VIOEngine:
         self.state = est.init_state(self.cfg, self.params, self.dtype)
         self._pending = []  # in-flight pipelined frames used the old state
         self._depth_ema = None
+        self._vel_ema = 0.05
         self.host_frames = []
         self.window_ts = np.zeros(W)
         self._first_frame_time = None
@@ -623,17 +626,29 @@ class VIOEngine:
                                0, False)
         return self._finalize_tracking(self._pending.pop(0))
 
-    def _check_scale_runaway(self, med_depth: float) -> bool:
-        """Update the median-depth EMA baseline; True when the current
-        median outruns it by DEPTH_RUNAWAY_FACTOR (see class constants)."""
+    def _check_scale_runaway(self, med_depth: float,
+                             vel: float = 0.0) -> bool:
+        """Update the median-depth (and |v|) EMA baselines; True when BOTH
+        outrun them (see class constants). Monocular scale runaway inflates
+        depth and velocity JOINTLY (they share the scale factor; observed
+        depth 90x with |v| 6x GT) — depth alone also rises when the
+        viewpoint legitimately shifts from a near wall to across the room,
+        which on a 140 s sequence outruns the slow EMA and used to
+        false-trip the gate (~1 reset/1000 frames, each costing ~1 m ATE
+        through the re-init frame break). Requiring the velocity signature
+        keeps the true-runaway detection and drops the viewpoint false
+        positives."""
         if med_depth <= 0:
             return False
         if self._depth_ema is None:
             self._depth_ema = med_depth
+            self._vel_ema = max(vel, 0.05)
             return False
-        runaway = med_depth > self.DEPTH_RUNAWAY_FACTOR * self._depth_ema
+        depth_runaway = med_depth > self.DEPTH_RUNAWAY_FACTOR * self._depth_ema
+        vel_runaway = vel > self.VEL_RUNAWAY_FACTOR * max(self._vel_ema, 0.05)
         self._depth_ema += self.DEPTH_EMA_RATE * (med_depth - self._depth_ema)
-        return runaway
+        self._vel_ema += self.DEPTH_EMA_RATE * (vel - self._vel_ema)
+        return depth_runaway and vel_runaway
 
     def enable_pipelined_streaming(self, on: bool = True,
                                    depth: int = 1) -> None:
@@ -705,7 +720,7 @@ class VIOEngine:
         # landmarks seeded deeper — which drifts tens of meters while every
         # reference gate stays silent (observed: median depth 2.8 -> 252 m
         # over 8 s with |v| 6x ground truth and TRACKING status throughout).
-        scale_runaway = self._check_scale_runaway(med_depth)
+        scale_runaway = self._check_scale_runaway(med_depth, vel)
         if not finite or vel > 10.0 or pos > 100.0 or scale_runaway:
             self._consecutive_failures += 1
             if self._consecutive_failures >= MAX_CONSECUTIVE_FAILURES:

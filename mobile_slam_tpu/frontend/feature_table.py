@@ -135,6 +135,11 @@ def add_and_check_parallax(
     return AddResult(new_table, is_kf, last_track_num, mean_par)
 
 
+# Triangulation solver: closed-form adjugate (fast) vs batched 4x4 eigh
+# (the round-1 implementation). Module-level for A/B harness toggling.
+ADJUGATE_TRIANGULATION = True
+
+
 def triangulate(
     table: FeatureTable,
     p: jax.Array, q: jax.Array,      # (11, 3), (11, 4) window body poses
@@ -171,25 +176,37 @@ def triangulate(
     m = table.mask.astype(dtype)[..., None]
     rows = jnp.concatenate([row0 * m, row1 * m], axis=1)         # (F,22,4)
     AtA = jnp.einsum("fri,frj->fij", rows, rows)                 # (F,4,4)
-    # Inhomogeneous DLT: fix w=1 and solve the 3x3 normal equations
-    # M x = b with M = AtA[:3,:3], b = -AtA[:3,3] in closed form
-    # (adjugate).  The reference takes the smallest singular vector of A
-    # (feature_manager.cpp:142-196); the two agree except for points at
-    # infinity, which both paths clamp to init_depth anyway (depth < 0.1
-    # below).  A batched 4x4 eigh is an iterative, scalar-heavy op on TPU
-    # (~2.7 ms/frame for 384 slots — half the solver's whole LM budget);
-    # the adjugate solve is pure elementwise math and effectively free.
-    M = AtA[:, :3, :3]                                           # (F,3,3)
-    b = -AtA[:, :3, 3]                                           # (F,3)
-    cof = jnp.stack([
-        jnp.cross(M[:, 1], M[:, 2]),
-        jnp.cross(M[:, 2], M[:, 0]),
-        jnp.cross(M[:, 0], M[:, 1]),
-    ], axis=-1)                                                  # adj(M)ᵀ rows
-    det = jnp.einsum("fi,fi->f", M[:, 0], cof[:, :, 0])
-    x = jnp.einsum("fij,fj->fi", cof, b) / jnp.where(
-        jnp.abs(det) < 1e-18, 1e-18, det)[:, None]
-    depth = jnp.where(jnp.abs(det) < 1e-18, init_depth, x[:, 2])
+    if ADJUGATE_TRIANGULATION:
+        # Inhomogeneous DLT: fix w=1 and solve the 3x3 normal equations
+        # M x = b with M = AtA[:3,:3], b = -AtA[:3,3] in closed form
+        # (adjugate). The reference takes the smallest singular vector of
+        # A (feature_manager.cpp:142-196); the two agree away from
+        # degeneracy, and a batched 4x4 eigh is an iterative, scalar-heavy
+        # op on TPU (~2.7 ms/frame at 384 slots — half the LM budget)
+        # while the adjugate solve is effectively free. Low-parallax
+        # landmarks make M ill-conditioned and the solve noise-amplifying,
+        # so a RELATIVE conditioning gate (det vs mean-diagonal cubed)
+        # rejects those to init_depth — the |det| test must be relative:
+        # an absolute epsilon passes ill-conditioned f32 systems whose
+        # amplified depths later trip the scale gate.
+        M = AtA[:, :3, :3]                                       # (F,3,3)
+        b = -AtA[:, :3, 3]                                       # (F,3)
+        cof = jnp.stack([
+            jnp.cross(M[:, 1], M[:, 2]),
+            jnp.cross(M[:, 2], M[:, 0]),
+            jnp.cross(M[:, 0], M[:, 1]),
+        ], axis=-1)                                              # adj(M)ᵀ
+        det = jnp.einsum("fi,fi->f", M[:, 0], cof[:, :, 0])
+        scale3 = (jnp.trace(M, axis1=-2, axis2=-1) / 3.0) ** 3
+        ill = det <= 1e-6 * jnp.maximum(scale3, 1e-30)
+        x = jnp.einsum("fij,fj->fi", cof, b) / jnp.where(
+            ill, 1.0, det)[:, None]
+        depth = jnp.where(ill, init_depth, x[:, 2])
+    else:
+        _, vecs = jnp.linalg.eigh(AtA)
+        vmin = vecs[..., 0]                                      # (F,4)
+        depth = vmin[:, 2] / jnp.where(jnp.abs(vmin[:, 3]) < 1e-12,
+                                       1e-12, vmin[:, 3])
     depth = jnp.where(depth < 0.1, init_depth, depth)
     new_depth = jnp.where(need, depth.astype(dtype), table.depth)
     return table._replace(depth=new_depth)

@@ -113,6 +113,27 @@ def _virtual_pinhole(camera: Camera, pts, focal, cx, cy):
     )
 
 
+def preprocess_frame(img: jax.Array, cfg: TrackerConfig):
+    """State-independent per-frame image work: CLAHE, pyramid, Shi-Tomasi
+    response (+ fisheye border mask). Split out so chunked serving can
+    batch it across a whole chunk with vmap OUTSIDE the sequential scan —
+    batched image ops keep the MXU/VPU busy, while inside the scan they
+    run one frame at a time. Returns (equalized img, pyramid tuple,
+    corner response)."""
+    dtype = img.dtype
+    h, w = img.shape
+    if cfg.equalize:
+        img = clahe_op.clahe(img, clip_limit=3.0, tiles=8)
+    pyr = tuple(im.build_pyramid(img, cfg.lk_pyramid_levels))
+    response = corners.min_eig_response(img)
+    if cfg.fisheye:
+        yy = jnp.arange(h, dtype=dtype)[:, None] - h / 2.0
+        xx = jnp.arange(w, dtype=dtype)[None, :] - w / 2.0
+        rad = jnp.sqrt(yy * yy + xx * xx)
+        response = jnp.where(rad < min(h, w) / 2.0 - 4.0, response, 0.0)
+    return img, pyr, response
+
+
 def detect_and_track(
     state: TrackerState,
     img: jax.Array,          # (H, W) float 0..255 grayscale
@@ -122,6 +143,8 @@ def detect_and_track(
     key: jax.Array,          # PRNG key for RANSAC sampling
     focal: float,
     banned_ids: jax.Array | None = None,  # ids rejected by the estimator
+    preprocessed=None,       # optional (img, pyr, response) from
+                             # preprocess_frame (chunked batching)
 ) -> tuple[TrackerState, TrackerOutput]:
     dtype = img.dtype
     h, w = img.shape
@@ -135,9 +158,9 @@ def detect_and_track(
         ) & (state.ids >= 0)
         state = state._replace(active=state.active & ~banned)
 
-    if cfg.equalize:
-        img = clahe_op.clahe(img, clip_limit=3.0, tiles=8)
-    pyr = tuple(im.build_pyramid(img, cfg.lk_pyramid_levels))
+    if preprocessed is None:
+        preprocessed = preprocess_frame(img, cfg)
+    img, pyr, st_response = preprocessed
 
     # Kernel dispatch: the Pallas kernel replaces XLA's serialized element
     # gathers with VMEM dynamic slices (~100x on TPU, ops/lk_pallas.py);
@@ -235,14 +258,8 @@ def detect_and_track(
     n_needed = jnp.clip(cfg.max_cnt - n_kept, 0, K)
 
     def do_detect(_):
-        response = corners.min_eig_response(img)
-        if cfg.fisheye:
-            yy = jnp.arange(h, dtype=dtype)[:, None] - h / 2.0
-            xx = jnp.arange(w, dtype=dtype)[None, :] - w / 2.0
-            rad = jnp.sqrt(yy * yy + xx * xx)
-            response = jnp.where(rad < min(h, w) / 2.0 - 4.0, response, 0.0)
         response = corners.occupancy_suppression(
-            response, new_pts, active, cfg.min_dist
+            st_response, new_pts, active, cfg.min_dist
         )
         return corners.detect_grid(
             response, cfg.min_dist, K, quality_level=cfg.quality_level

@@ -116,12 +116,18 @@ def make_batched_image_step(params: est.StaticParams, num_iterations: int,
     inputs_TB an ImageFrameInput with leading (T, B)."""
     from mobile_slam_tpu.engine import chunked
 
+    from mobile_slam_tpu.frontend import tracker as trk
+
     one_frame = chunked.make_image_frame_step(
         params, num_iterations, tracker_cfg, camera, focal)
     vone = jax.vmap(one_frame)
 
     def chunk(carry, inputs):
-        return jax.lax.scan(vone, carry, inputs)
+        # Batched state-independent preprocessing over (T, B) frames —
+        # same trick as the single-stream chunked scan (chunked.py).
+        pre = jax.vmap(jax.vmap(
+            lambda im_: trk.preprocess_frame(im_, tracker_cfg)))(inputs.img)
+        return jax.lax.scan(vone, carry, (inputs, pre))
 
     if mesh is None:
         return jax.jit(chunk, donate_argnums=(0,))

@@ -118,6 +118,7 @@ def run_one(engine, step_img, cfg, data, frames):
         est_state=engine.state, tracker_state=engine.tracker_state,
         banned_ids=engine._banned_ids, key=engine._key,
         depth_ema=jnp.asarray(engine._depth_ema or 0.0, jnp.float32),
+        vel_ema=jnp.asarray(engine._vel_ema, jnp.float32),
     )
     t0_seq = engine._t0
     dtype = jnp.float32

@@ -103,20 +103,25 @@ class TestEngineEndToEnd:
 
 class TestScaleRunawayGate:
     """The monocular scale-runaway gate (VIOEngine._check_scale_runaway):
-    depth inflation beyond FACTOR x a slow EMA baseline is a failure.
-    Observed failure mode: median solved depth 2.8 -> 252 m over 8 s with
-    every reference divergence gate silent."""
+    JOINT depth + velocity inflation beyond FACTOR x slow EMA baselines is
+    a failure. Observed failure mode: median solved depth 2.8 -> 252 m
+    over 8 s with |v| 6x ground truth and every reference divergence gate
+    silent. Depth-only inflation (a genuine viewpoint change, e.g. near
+    wall -> across the room) must NOT trip — scale runaway multiplies
+    depth and velocity together."""
 
     def _gate(self):
         eng = object.__new__(VIOEngine)  # logic-only; no jit machinery
         eng._depth_ema = None
+        eng._vel_ema = 0.05
         return eng
 
     def test_trips_on_compounding_inflation(self):
         eng = self._gate()
         md, tripped = 2.8, False
         for _ in range(200):  # 10 s at 20 fps of 1.3x/s runaway
-            if eng._check_scale_runaway(md):
+            vel = 0.5 * (md / 2.8)  # velocity scales with the runaway
+            if eng._check_scale_runaway(md, vel):
                 tripped = True
                 break
             md *= 1.3 ** (1 / 20.0)
@@ -125,10 +130,22 @@ class TestScaleRunawayGate:
     def test_tolerates_noise_and_slow_change(self):
         eng = self._gate()
         rs = np.random.RandomState(0)
-        md = 2.8
         for i in range(1200):  # 60 s: noise + gradual 2x scene change
             md = 2.8 * (1 + i / 1200.0) * (1 + 0.15 * rs.randn())
-            assert not eng._check_scale_runaway(max(md, 0.5))
+            vel = 0.5 * (1 + 0.2 * rs.randn())
+            assert not eng._check_scale_runaway(max(md, 0.5), abs(vel))
+
+    def test_viewpoint_depth_jump_does_not_trip(self):
+        """Turning from a 2 m wall to face across a 10 m room quadruples
+        the median depth within a couple of seconds while velocity stays
+        ordinary — this used to false-trip the depth-only gate (~1 reset
+        per 1000 frames on 140 s runs, each costing ~1 m ATE)."""
+        eng = self._gate()
+        for i in range(100):  # settle baseline at 2 m
+            assert not eng._check_scale_runaway(2.0, 0.5)
+        for i in range(60):   # 3 s pan: depth 2 -> 10 m
+            md = 2.0 + 8.0 * min(i / 40.0, 1.0)
+            assert not eng._check_scale_runaway(md, 0.5)
 
     def test_ignores_empty_scene(self):
         eng = self._gate()
@@ -142,15 +159,20 @@ class TestScaleRunawayGate:
 
         eng = self._gate()
         ema = jnp.asarray(0.0, jnp.float32)
+        vema = jnp.asarray(0.0, jnp.float32)
         rs = np.random.RandomState(1)
         meds = [0.0, 0.0]                                   # pre-init frames
         meds += [2.8 * (1 + 0.1 * rs.randn()) for _ in range(100)]  # quiet
         meds += [meds[-1] * 1.3 ** (k / 20.0) for k in range(1, 220)]  # runaway
+        base = meds[2]
         host_trip = dev_trip = None
         for i, md in enumerate(meds):
             md = max(float(md), 0.0)
-            host = eng._check_scale_runaway(md)
-            ema, dev = chunked.scale_gate(ema, jnp.asarray(md, jnp.float32))
+            vel = 0.5 * (md / base) if md > 0 else 0.0  # runaway couples |v|
+            host = eng._check_scale_runaway(md, vel)
+            ema, vema, dev = chunked.scale_gate(
+                ema, vema, jnp.asarray(md, jnp.float32),
+                jnp.asarray(vel, jnp.float32))
             if host and host_trip is None:
                 host_trip = i
             if bool(dev) and dev_trip is None:

@@ -112,6 +112,7 @@ class TestBatchedImageStep:
                                 jnp.int32),
             key=jax.random.PRNGKey(seed),
             depth_ema=jnp.asarray(0.0, jnp.float32),
+            vel_ema=jnp.asarray(0.0, jnp.float32),
         )
         rng = np.random.default_rng(100 + seed)
         frames = []

@@ -29,6 +29,7 @@ import enum
 import functools
 import queue
 import threading
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -261,8 +262,24 @@ class VIOEngine:
         self._pending: list = []
         self._read_q: Optional[queue.Queue] = None
         self._reader: Optional[threading.Thread] = None
+        # Per-stage wall-time EMAs (ms), keyed by stage name — the engine's
+        # own tracing hooks (the reference's profiling timers around
+        # detectAndTrack / processImage, vio_engine.cpp:209-243). Dispatch
+        # times on the async paths measure host-side cost; *_wait measures
+        # the blocking readback.
+        self.stage_ms: dict = {}
 
         self.reset()
+
+    def _stage_time(self, name: str, t0: float) -> None:
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        prev = self.stage_ms.get(name)
+        self.stage_ms[name] = dt_ms if prev is None else (
+            prev + 0.05 * (dt_ms - prev))
+
+    def get_timing(self) -> dict:
+        """Smoothed per-stage host wall times in ms (tracing hook)."""
+        return {k: round(v, 3) for k, v in self.stage_ms.items()}
 
     # ------------------------------------------------------------------
     # Lifecycle (configure/reset, vio_engine.cpp:25-109, 391-407)
@@ -377,6 +394,7 @@ class VIOEngine:
 
     def process_frame(self, image: np.ndarray, frame_ts: float) -> FrameResult:
         """Full image path: track features on device, then run the filter."""
+        t0 = time.perf_counter()
         img = jnp.asarray(image, self.dtype)
         self._key, sub = jax.random.split(self._key)
         if self._t0 is None:
@@ -386,6 +404,7 @@ class VIOEngine:
             jnp.asarray(frame_ts - self._t0, self.dtype), key=sub,
             banned_ids=self._banned_ids,
         )
+        self._stage_time("tracker_dispatch", t0)
         return self._process_tracked(
             frame_ts,
             ids=tout.ids, obs=tout.obs, uv=tout.uv, vel=tout.vel,
@@ -594,9 +613,11 @@ class VIOEngine:
         return FrameResult(False, None, Status.INITIALIZING, n_feat, bool(is_kf))
 
     def _process_tracking(self, is_kf) -> FrameResult:
+        t0 = time.perf_counter()
         self.state, packed, diag = self._solve(
             self.state, is_kf, self.params
         )
+        self._stage_time("solve_dispatch", t0)
         # Outlier-ban feedback to the tracker rides device-to-device; no
         # host sync required.
         self._banned_ids = diag.culled_ids
@@ -697,11 +718,13 @@ class VIOEngine:
         # ONE device->host transfer for the whole per-frame result (see
         # _solve_packed): pose + every gate scalar arrive together — and in
         # pipelined mode the reader thread has usually already landed it.
+        t0 = time.perf_counter()
         if isinstance(packed, _PendingFrame):
             ts = packed.ts
             v = packed.resolve()
         else:
             v = np.asarray(packed, np.float64)
+        self._stage_time("result_wait", t0)
         p_np, q_np = v[:3], v[3:7]
         vel, pos, med_depth = float(v[7]), float(v[8]), float(v[9])
         finite = bool(v[10] > 0.5)

@@ -80,6 +80,8 @@ class VIOSystem:
                 "acc": [[round(v, 4) for v in s[1]] for s in self._imu_window],
                 "gyr": [[round(v, 5) for v in s[2]] for s in self._imu_window],
             },
+            # Engine tracing hooks: per-stage host wall-time EMAs (ms).
+            "stage_ms": self.engine.get_timing(),
         }
         tmp = os.path.join(self.logger.dir, ".live.json.tmp")
         with open(tmp, "w") as f:

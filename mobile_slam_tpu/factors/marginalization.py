@@ -164,6 +164,38 @@ _SUP_N = len(_SUPPORT)
 # pipeline (incl. margin-old, where the fresh-factor information enters).
 SQRT_MARGIN_NEW = False
 
+# Full square-root pipeline: margin-OLD also processed without ever forming
+# J0ᵀJ0 of the prior (the sqrt-filter "measurement update"):
+#   1. fresh factors only (first IMU + frame-0-anchored projections,
+#      use_prior=False) are assembled to (H_f, g_f); the dropped landmark
+#      depths are Schur-eliminated there (diagonal block — squaring FRESH
+#      information is benign, its conditioning is modest);
+#   2. (H_f, g_f) is eigen-factorized once into rows (R_f, r_f) — again
+#      fresh-only;
+#   3. the prior enters as its RAW rows [J0 | r0 + J0·dx] (FEJ: Jacobian
+#      frozen, residual advanced to the current state, exactly like
+#      MarginalizationFactor::Evaluate);
+#   4. the stacked (2S, S+1) system has the dropped frame block eliminated
+#      by 15 Householder reflections and is recompressed to S rows by one
+#      QR — both ORTHOGONAL operations, so the prior's weakly-observable
+#      monocular-scale direction (2e-6 relative curvature,
+#      scripts/dev_scale_observability.py: the prior carries ~78% of all
+#      scale information) passes through with κ(J) conditioning instead of
+#      κ(J)² ≈ 1e9 of the dense H=J0ᵀJ0 → Schur → eigh round trip.
+# Algebraically identical to the dense path (orthogonally-related square
+# roots of the same marginal information; f64 parity test in
+# tests/test_sqrt_marginalization.py). Enable together with
+# SQRT_MARGIN_NEW via enable_sqrt_pipeline() for the full-sqrt A/B.
+SQRT_MARGIN_OLD = False
+
+
+def enable_sqrt_pipeline(on: bool = True) -> None:
+    """Toggle the full square-root prior pipeline (margin-old + margin-new).
+    Callers must re-jit (flags are trace-time constants)."""
+    global SQRT_MARGIN_OLD, SQRT_MARGIN_NEW
+    SQRT_MARGIN_OLD = on
+    SQRT_MARGIN_NEW = on
+
 
 def _householder_eliminate(M: jax.Array, cols):
     """Triangularize the given columns of M = [J | r] with one Householder
@@ -230,6 +262,36 @@ def marginalize_old(
     imu_valid = jnp.zeros((W - 1,), bool).at[0].set(True)
     imu_valid = imu_valid & (window.pre.sum_dt[1:] < 10.0) & (window.imu_cnt[1:] > 0)
     proj_valid = assembly.proj_valid_mask(table) & (table.start == 0)[:, None]
+    drop_lam = elig & (table.start == 0)
+    idx0_np = layout.frame_block_indices(0)
+    idx0 = jnp.asarray(idx0_np, jnp.int32)
+    P = _perm("old", dtype)
+
+    if SQRT_MARGIN_OLD:
+        # Full-sqrt update: fresh factors squared once (benign), prior rows
+        # pass through orthogonal transforms only (see SQRT_MARGIN_OLD note).
+        eqs = assembly.build_normal_eqs(
+            x, table, window.pre, imu_sqrt_info, imu_valid, prior,
+            jnp.zeros((S, S), dtype), ex_t, ex_q, params, proj_valid,
+            use_prior=False,
+        )
+        H_f, g_f = _eliminate_lambdas(eqs.H_ss, eqs.g_s, eqs.H_sl, eqs.H_ll,
+                                      eqs.g_l, drop_lam)
+        R_f, r_f = _sqrt_factorize_dense(H_f, g_f)
+        dx = assembly.prior_dx(prior, x, ex_t, ex_q)
+        r_pr = prior.r0 + prior.J0 @ dx
+        M = jnp.concatenate([
+            jnp.concatenate([R_f, r_f[:, None]], axis=1),
+            jnp.concatenate([prior.J0, r_pr[:, None]], axis=1),
+        ], axis=0)                                        # (2S, S+1)
+        M = _householder_eliminate(M, list(idx0_np))
+        zcols = jnp.ones((S,), dtype).at[idx0].set(0.0)
+        M = M.at[:, :S].multiply(zcols[None, :])          # clear roundoff
+        R = jnp.linalg.qr(M, mode="r")                    # (S+1, S+1)
+        J0 = R[:S, :S] @ P.T                              # column relabel
+        r0 = R[:S, S]
+        return Prior(J0=J0, r0=r0,
+                     **_permuted_linearization("old", x, ex_t, ex_q))
 
     prior_H0 = prior.J0.T @ prior.J0
     eqs = assembly.build_normal_eqs(
@@ -237,13 +299,10 @@ def marginalize_old(
         ex_t, ex_q, params, proj_valid,
     )
 
-    drop_lam = elig & (table.start == 0)
     H, g = _eliminate_lambdas(eqs.H_ss, eqs.g_s, eqs.H_sl, eqs.H_ll,
                               eqs.g_l, drop_lam)
-    idx0 = jnp.asarray(layout.frame_block_indices(0), jnp.int32)
     H, g = _eliminate_frame_block(H, g, idx0)
 
-    P = _perm("old", dtype)
     H = P @ H @ P.T
     g = P @ g
     J0, r0 = _sqrt_factorize(H, g)

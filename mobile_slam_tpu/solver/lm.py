@@ -42,6 +42,19 @@ NSOLVE = layout.EX_COL  # 165 solved dims (extrinsic held constant,
 # is culled after the solve: 2.0 ≈ 3 pixels.
 OUTLIER_REPROJ_WHITENED = 2.0
 
+# Ceres-style function-tolerance early exit (solver/lm.solve): when set to a
+# float, the fixed-count fori_loop becomes a while_loop that stops once an
+# accepted step improves the cost by less than ftol * cost — the same
+# convergence contract as Ceres' function_tolerance (the reference runs
+# Ceres with its default 1e-6 and an 8-iteration budget, so it ALSO stops
+# early on converged frames; optimizer.cpp:145-155). The executed iterations
+# are numerically identical to the fixed-count path — only trailing
+# no-improvement iterations are skipped — so per-frame poses match wherever
+# the fixed path had already converged. None = fixed iteration count.
+# NOTE: any default flip requires the multiseed E2E A/B (dev_multiseed.py)
+# per the ROUND2_NOTES cautionary tale.
+EARLY_EXIT_FTOL: float | None = None
+
 
 class SolveResult(NamedTuple):
     x: XState
@@ -132,7 +145,7 @@ def solve(
 
     cost0 = cost_fn(x0)
 
-    def body(_, carry):
+    def step(carry):
         x, cost, mu, n_acc = carry
         eqs = assembly.build_normal_eqs(
             x, table, window.pre, imu_sqrt_info, imu_valid, prior, prior_H0,
@@ -155,15 +168,38 @@ def solve(
         cost_new = jnp.where(use_a, cost_a, cost_b)
         ok = jnp.isfinite(cost_new) & (cost_new < cost)
         x = jax.tree.map(lambda a, b: jnp.where(ok, a, b), x_new, x)
-        cost = jnp.where(ok, cost_new, cost)
+        new_cost = jnp.where(ok, cost_new, cost)
         mu = jnp.where(ok & use_a, jnp.maximum(mu * 0.25, 1e-12),
                        jnp.where(ok, mu, jnp.minimum(mu * 10.0, 1e4)))
-        return x, cost, mu, n_acc + ok.astype(jnp.int32)
+        return (x, new_cost, mu, n_acc + ok.astype(jnp.int32)), ok, cost
 
-    x, cost, _, n_acc = jax.lax.fori_loop(
-        0, num_iterations, body,
-        (x0, cost0, jnp.asarray(mu_init, dtype), jnp.asarray(0, jnp.int32)),
-    )
+    init = (x0, cost0, jnp.asarray(mu_init, dtype), jnp.asarray(0, jnp.int32))
+    if EARLY_EXIT_FTOL is None:
+        def body(_, carry):
+            new_carry, _, _ = step(carry)
+            return new_carry
+        x, cost, _, n_acc = jax.lax.fori_loop(0, num_iterations, body, init)
+    else:
+        ftol = float(EARLY_EXIT_FTOL)
+
+        def cond_w(wcarry):
+            it, done, _ = wcarry
+            return (it < num_iterations) & ~done
+
+        def body_w(wcarry):
+            it, _, carry = wcarry
+            new_carry, ok, cost_before = step(carry)
+            # Converged: an accepted step whose relative improvement fell
+            # below ftol (Ceres function_tolerance semantics). A rejected
+            # step keeps iterating — mu just grew, the next try may land.
+            improve = (cost_before - new_carry[1]) / jnp.maximum(
+                cost_before, jnp.asarray(1e-30, dtype))
+            done = ok & (improve < ftol)
+            return it + 1, done, new_carry
+
+        _, _, (x, cost, _, n_acc) = jax.lax.while_loop(
+            cond_w, body_w, (jnp.asarray(0, jnp.int32),
+                             jnp.asarray(False), init))
     return SolveResult(x=x, cost0=cost0, cost=cost, accepted=n_acc)
 
 

@@ -179,6 +179,9 @@ def main():
         # carry the monocular-scale information).
         tokens = arm.split(":")
         marginalization.RESTRICTED_SUPPORT = (tokens[0] == "restricted")
+        # "sqrtfull" = full square-root prior pipeline (margin-old QR +
+        # margin-new Householder, marginalization.enable_sqrt_pipeline).
+        marginalization.enable_sqrt_pipeline(tokens[0] == "sqrtfull")
         arm_cfg = cfg
         import dataclasses as _dc
         for t in tokens[1:]:
@@ -194,6 +197,10 @@ def main():
             elif k == "refill":
                 arm_cfg = arm_cfg.replace(tracker=_dc.replace(
                     arm_cfg.tracker, refill_min_deficit=int(v)))
+            elif k == "ftol":
+                from mobile_slam_tpu.solver import lm as _lm
+                _lm.EARLY_EXIT_FTOL = (None if v in ("none", "off")
+                                       else float(v))
             elif k == "luransac":
                 from mobile_slam_tpu.ops import ransac as _rs
                 _rs.USE_LU_HYPOTHESES = v not in ("0", "false")

@@ -318,7 +318,27 @@ def run_image_path(cfg, cam, data):
     return fps_image, ate, len(est_p), n_img, fps_fleet
 
 
+def _probe_devices(timeout_s: float = 600.0):
+    """jax.devices() with a watchdog: the axon TPU tunnel can wedge (hangs
+    indefinitely at backend init). A hung bench is worse than an error line
+    for the driver, so probe in a daemon thread and fail fast."""
+    import threading
+    box = []
+    t = threading.Thread(target=lambda: box.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box[0] if box else None
+
+
 def main():
+    if _probe_devices() is None:
+        print(json.dumps({
+            "metric": "VIO frames/sec/chip (TUM-VI-like synthetic, chunked)",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (device probe timed out)",
+        }))
+        return
     cfg = make_cfg()
     cam = make_camera(cfg.camera, dtype=jnp.float64)
     scfg = sim.SimConfig(

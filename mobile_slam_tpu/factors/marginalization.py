@@ -165,7 +165,9 @@ _SUP_N = len(_SUPPORT)
 SQRT_MARGIN_NEW = False
 
 # Full square-root pipeline: margin-OLD also processed without ever forming
-# J0ᵀJ0 of the prior (the sqrt-filter "measurement update"):
+# J0ᵀJ0 of the prior (the sqrt-filter "measurement update"; the approach of
+# "Square Root Marginalization for Sliding-Window Bundle Adjustment",
+# arXiv 2109.02182, adapted to this solver's fixed-shape tangent layout):
 #   1. fresh factors only (first IMU + frame-0-anchored projections,
 #      use_prior=False) are assembled to (H_f, g_f); the dropped landmark
 #      depths are Schur-eliminated there (diagonal block — squaring FRESH

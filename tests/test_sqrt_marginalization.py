@@ -137,26 +137,25 @@ def _prior_after_step(state, params, is_kf):
     return J0.T @ J0, J0.T @ r0, bool(diag.state_finite)
 
 
-class TestSqrtPipelineParity:
-    def setup_method(self):
-        cfg = tiny_config(max_features=48, num_iterations=4)
-        self.params = est.make_params(cfg, jnp.float64)
-        state, inp = make_example_state(cfg, self.params, jnp.float64)
-        self.state, _ = est.bookkeeping_step(state, inp, self.params)
-        self._eps = marg.REL_EIG_EPS
+def _run_parity_checks():
+    """Engine-level checks, executed in a SUBPROCESS by the pytest wrapper
+    below: after ~1000 in-process XLA:CPU compilations (a full suite run)
+    the compiler segfaults on these graphs — twice reproduced at this exact
+    test, never standalone — so they get a fresh process like the sharding
+    tests (see tests/test_parallel.py)."""
+    cfg = tiny_config(max_features=48, num_iterations=4)
+    params = est.make_params(cfg, jnp.float64)
+    state0, inp = make_example_state(cfg, params, jnp.float64)
+    state0, _ = est.bookkeeping_step(state0, inp, params)
 
-    def teardown_method(self):
-        marg.enable_sqrt_pipeline(False)
-        marg.REL_EIG_EPS = self._eps
-
-    def _compare(self, is_kf):
+    for is_kf, tag in ((True, "old"), (False, "new")):
         # Machine-level eigen threshold so dense drops nothing the sqrt
         # path keeps (the threshold is the paths' one designed difference).
         marg.REL_EIG_EPS = 1e-13
         marg.enable_sqrt_pipeline(False)
-        H_d, g_d, ok_d = _prior_after_step(self.state, self.params, is_kf)
+        H_d, g_d, ok_d = _prior_after_step(state0, params, is_kf)
         marg.enable_sqrt_pipeline(True)
-        H_s, g_s, ok_s = _prior_after_step(self.state, self.params, is_kf)
+        H_s, g_s, ok_s = _prior_after_step(state0, params, is_kf)
         assert ok_d and ok_s
         # Tolerance is set by the DENSE path's own noise floor: its Schur
         # complement cancels ~κ(J0)² ≈ 1e9-conditioned products, so even in
@@ -168,21 +167,44 @@ class TestSqrtPipelineParity:
         np.testing.assert_allclose(H_s, H_d, atol=2e-3 * scale)
         gscale = max(np.abs(g_d).max(), 1e-12)
         np.testing.assert_allclose(g_s, g_d, atol=2e-3 * gscale)
+        print(f"PARITY_OK {tag}", flush=True)
 
-    def test_margin_old_information_parity(self):
-        self._compare(is_kf=True)
+    # Multi-frame health with the full sqrt pipeline at the production
+    # eigen threshold: state and prior stay finite.
+    marg.REL_EIG_EPS = 1e-4
+    marg.enable_sqrt_pipeline(True)
+    state = state0
+    for k in range(4):
+        state, p, q, diag = est.solve_and_slide(
+            state, jnp.asarray(k % 2 == 0), params, 4)
+        assert bool(diag.state_finite), f"non-finite at step {k}"
+    assert bool(jnp.all(jnp.isfinite(state.prior.J0)))
+    assert bool(jnp.all(jnp.isfinite(state.prior.r0)))
+    print("HEALTH_OK", flush=True)
 
-    def test_margin_new_information_parity(self):
-        self._compare(is_kf=False)
 
-    def test_sqrt_pipeline_multi_frame_health(self):
-        """Run a few solve+slide cycles with the full sqrt pipeline at the
-        production eigen threshold: state stays finite, prior stays finite."""
-        marg.enable_sqrt_pipeline(True)
-        state = self.state
-        for k in range(4):
-            state, p, q, diag = est.solve_and_slide(
-                state, jnp.asarray(k % 2 == 0), self.params, 4)
-            assert bool(diag.state_finite), f"non-finite at step {k}"
-        assert bool(jnp.all(jnp.isfinite(state.prior.J0)))
-        assert bool(jnp.all(jnp.isfinite(state.prior.r0)))
+class TestSqrtPipelineParity:
+    def test_parity_and_health_subprocess(self):
+        import os
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, PYTHONPATH=repo)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], cwd=repo, env=env,
+            capture_output=True, text=True, timeout=1500,
+        )
+        assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+        assert "PARITY_OK old" in out.stdout
+        assert "PARITY_OK new" in out.stdout
+        assert "HEALTH_OK" in out.stdout
+
+
+if __name__ == "__main__":
+    # Subprocess entry: conftest.py does not apply here, so force the CPU
+    # backend (the axon TPU plugin ignores JAX_PLATFORMS) and f64 before
+    # any computation.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    _run_parity_checks()

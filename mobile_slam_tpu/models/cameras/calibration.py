@@ -146,6 +146,80 @@ def refine_extrinsics(
     return np.asarray(q), np.asarray(t), rms_before, rms_after
 
 
+def calibrate_camera_odometry(
+    model_type: str,
+    params: jax.Array,        # fixed intrinsic vector
+    q_oc0: jax.Array, t_oc0: jax.Array,   # camera-from-odometry initial
+    odo_q0: jax.Array,        # (V, 4) world-from-odometry rotations, initial
+    odo_t0: jax.Array,        # (V, 3) world-from-odometry translations
+    world_pts: jax.Array,     # (V, N, 3) points observed per view
+    uv_obs: jax.Array,        # (V, N, 2)
+    iters: int = 25,
+):
+    """Joint hand-eye calibration: refine the camera-odometry transform AND
+    the per-view 6D odometry poses with intrinsics fixed — the reference
+    factory's CAMERA_ODOMETRY_TRANSFORM | ODOMETRY_6D_POSE variant
+    (CostFunctionFactory.cc:471+; ReprojectionError1 with fixed
+    intrinsic_params). The first odometry pose is held constant to pin the
+    6-dof gauge (T_wc_i = T_wo_i ∘ T_oc is invariant to T_wo_i → T_wo_i·G,
+    T_oc → G⁻¹·T_oc). Returns (q_oc, t_oc, odo_q, odo_t, rms_before,
+    rms_after)."""
+    project = _PROJECT[model_type.upper()]
+    params = jnp.asarray(params, jnp.float64)
+    wp = jnp.asarray(world_pts, jnp.float64)
+    uv = jnp.asarray(uv_obs, jnp.float64)
+    V = wp.shape[0]
+    q_oc = jnp.asarray(q_oc0, jnp.float64)
+    t_oc = jnp.asarray(t_oc0, jnp.float64)
+    odo_q = jnp.asarray(odo_q0, jnp.float64)
+    odo_t = jnp.asarray(odo_t0, jnp.float64)
+    ndx = 6 + 6 * (V - 1)
+
+    def unpack(dx, q_oc_l, t_oc_l, odo_q_l, odo_t_l):
+        q1 = rot.quat_boxplus(q_oc_l, dx[0:3])
+        t1 = t_oc_l + dx[3:6]
+        d = dx[6:].reshape(V - 1, 6)
+        dq = jnp.concatenate([jnp.zeros((1, 3)), d[:, 0:3]])
+        dt = jnp.concatenate([jnp.zeros((1, 3)), d[:, 3:6]])
+        oq = rot.quat_boxplus(odo_q_l, dq)
+        ot = odo_t_l + dt
+        return q1, t1, oq, ot
+
+    def residual(dx, q_oc_l, t_oc_l, odo_q_l, odo_t_l):
+        q1, t1, oq, ot = unpack(dx, q_oc_l, t_oc_l, odo_q_l, odo_t_l)
+        # world -> odometry -> camera
+        x_o = jnp.einsum(
+            "vij,vnj->vni", jnp.swapaxes(jax.vmap(rot.quat_to_rot)(oq), 1, 2),
+            wp - ot[:, None, :])
+        r_co = rot.quat_to_rot(q1).T
+        x_c = jnp.einsum("ij,vnj->vni", r_co, x_o - t1[None, None, :])
+        return (project(params, x_c.reshape(-1, 3))
+                - uv.reshape(-1, 2)).reshape(-1)
+
+    zero = jnp.zeros(ndx, jnp.float64)
+    r0 = residual(zero, q_oc, t_oc, odo_q, odo_t)
+    rms_before = float(jnp.sqrt(jnp.mean(r0 ** 2)))
+    jac_fn = jax.jacfwd(residual, argnums=0)
+    mu = 1e-6
+    cost = float(jnp.sum(r0 ** 2))
+    for _ in range(iters):
+        r = residual(zero, q_oc, t_oc, odo_q, odo_t)
+        J = jac_fn(zero, q_oc, t_oc, odo_q, odo_t)
+        H = J.T @ J
+        H = H + mu * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-12))
+        delta = -jnp.linalg.solve(H + 1e-12 * jnp.eye(ndx), J.T @ r)
+        q1, t1, oq, ot = unpack(delta, q_oc, t_oc, odo_q, odo_t)
+        new_cost = float(jnp.sum(residual(zero, q1, t1, oq, ot) ** 2))
+        if new_cost < cost:
+            q_oc, t_oc, odo_q, odo_t, cost = q1, t1, oq, ot, new_cost
+            mu = max(mu / 3, 1e-12)
+        else:
+            mu = min(mu * 10, 1e6)
+    rms_after = float(jnp.sqrt(cost / r0.shape[0]))
+    return (np.asarray(q_oc), np.asarray(t_oc), np.asarray(odo_q),
+            np.asarray(odo_t), rms_before, rms_after)
+
+
 def calibrate_from_observations(model_type: str, params0, world_pts, uv_obs,
                                 poses, iters: int = 20):
     """Multi-view intrinsic calibration with known camera poses:

@@ -152,3 +152,66 @@ class TestRefineExtrinsics:
             np.zeros(3), wp, uv, iters=40)
         assert rms1 < 1e-5, f"rms {rms0:.2f} -> {rms1:.2e}"
         np.testing.assert_allclose(t, t_true, atol=1e-4)
+
+
+class TestCameraOdometryCalibration:
+    def test_hand_eye_recovery_pinhole(self):
+        """CAMERA_ODOMETRY_TRANSFORM | ODOMETRY_6D_POSE parity
+        (CostFunctionFactory.cc:471+): recover the camera-odometry
+        transform jointly with perturbed odometry poses; odometry pose 0
+        pins the gauge."""
+        from mobile_slam_tpu.models.cameras.calibration import (
+            calibrate_camera_odometry)
+        from mobile_slam_tpu.utils import rotations as rot
+
+        params = pinhole.make_params(460.0, 458.0, 376.0, 240.0,
+                                     -0.28, 0.07, 1e-4, -2e-4,
+                                     dtype=jnp.float64)
+        rng = np.random.default_rng(11)
+        V, N = 5, 120
+        # GT camera-in-odometry transform (x_o = R_oc x_c + t_oc).
+        q_oc = np.array([np.cos(0.2), 0.1, np.sin(0.2), -0.05])
+        q_oc /= np.linalg.norm(q_oc)
+        t_oc = np.array([0.12, -0.06, 0.30])
+        R_oc = np.asarray(rot.quat_to_rot(jnp.asarray(q_oc)))
+        # GT odometry trajectory (world-from-odometry).
+        odo_q, odo_t = [], []
+        for i in range(V):
+            th = 0.15 * i
+            qi = np.array([np.cos(th / 2), 0.0, 0.0, np.sin(th / 2)])
+            odo_q.append(qi)
+            odo_t.append(np.array([0.4 * i, 0.1 * i, 0.0]))
+        odo_q = np.stack(odo_q)
+        odo_t = np.stack(odo_t)
+        # Points generated in each view's camera frame, lifted to world.
+        wps, uvs = [], []
+        for i in range(V):
+            pc = np.stack([rng.uniform(-1.5, 1.5, N),
+                           rng.uniform(-1.0, 1.0, N),
+                           rng.uniform(2.0, 6.0, N)], -1)
+            R_wo = np.asarray(rot.quat_to_rot(jnp.asarray(odo_q[i])))
+            xo = pc @ R_oc.T + t_oc
+            wps.append(xo @ R_wo.T + odo_t[i])
+            uvs.append(np.asarray(pinhole.project(params, jnp.asarray(pc))))
+        wps = np.stack(wps)
+        uvs = np.stack(uvs)
+
+        # Perturb the transform and odometry poses 1..V-1 (pose 0 = gauge).
+        q0 = np.asarray(rot.quat_boxplus(jnp.asarray(q_oc),
+                                         jnp.asarray([0.05, -0.04, 0.06])))
+        t0 = t_oc + np.array([0.05, 0.08, -0.06])
+        oq0 = odo_q.copy()
+        ot0 = odo_t.copy()
+        for i in range(1, V):
+            oq0[i] = np.asarray(rot.quat_boxplus(
+                jnp.asarray(odo_q[i]),
+                jnp.asarray(rng.uniform(-0.03, 0.03, 3))))
+            ot0[i] = odo_t[i] + rng.uniform(-0.05, 0.05, 3)
+
+        q_r, t_r, oq_r, ot_r, rms0, rms1 = calibrate_camera_odometry(
+            "PINHOLE", params, q0, t0, oq0, ot0, wps, uvs, iters=40)
+        assert rms0 > 1.0            # the perturbation was visible
+        assert rms1 < 1e-4, f"rms {rms0:.2f} -> {rms1:.2e}"
+        np.testing.assert_allclose(t_r, t_oc, atol=1e-3)
+        assert abs(abs(np.dot(q_r, q_oc)) - 1.0) < 1e-6
+        np.testing.assert_allclose(ot_r[2], odo_t[2], atol=1e-3)

@@ -27,8 +27,7 @@ from mobile_slam_tpu.models.cameras.base import make_camera
 from mobile_slam_tpu.config import CameraConfig
 
 
-@pytest.fixture(scope="module")
-def gateway():
+def _make_gateway():
     sock = socket.socket()
     sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     sock.bind(("127.0.0.1", 0))
@@ -39,6 +38,11 @@ def gateway():
     t.start()
     assert ready.wait(5)
     return port
+
+
+@pytest.fixture(scope="module")
+def gateway():
+    return _make_gateway()
 
 
 def _imu_msg(samples):
@@ -68,9 +72,7 @@ def _recv_json(conn, want_type=None, timeout_msgs=50):
     raise AssertionError(f"no {want_type} message")
 
 
-# Small world shared across tests (module scope keeps compile cost single).
-@pytest.fixture(scope="module")
-def world():
+def _make_world():
     r_ic = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
     cam_cfg = CameraConfig(model_type="PINHOLE", width=192, height=192,
                            focal_length=150.0, fx=150.0, fy=150.0,
@@ -83,6 +85,12 @@ def world():
     frames = [sim.render_frame(data, fi, cam, r_ic, np.zeros(3))
               for fi in range(len(data.frames))]
     return data, frames
+
+
+# Small world shared across tests (module scope keeps compile cost single).
+@pytest.fixture(scope="module")
+def world():
+    return _make_world()
 
 
 CONFIG_MSG = {
@@ -101,55 +109,72 @@ CONFIG_MSG = {
 }
 
 
+def _full_session_check(gateway, world):
+    """The full engine-hosting session. Executed in a SUBPROCESS by the
+    pytest wrapper below: this is the suite's biggest single XLA:CPU
+    compile, and after a full suite's worth of in-process compilations the
+    CPU compiler segfaults on it (same failure mode isolated in
+    tests/test_sqrt_marginalization.py; see that file's note)."""
+    data, frames = world
+    conn = ws.connect("127.0.0.1", gateway)
+    try:
+        conn.send(json.dumps(CONFIG_MSG))
+        msg = _recv_json(conn, "configured")
+        assert msg["ok"] and msg["width"] == 192
+
+        imu = np.column_stack([data.imu_ts, data.imu_acc, data.imu_gyr])
+        imu_i = 0
+        statuses, poses, got_map = [], [], False
+        for fi, ts in enumerate(data.cam_ts):
+            j = np.searchsorted(data.imu_ts, ts + 1e-9)
+            if j > imu_i:
+                conn.send(_imu_msg(imu[imu_i:j]))
+                imu_i = j
+            conn.send(_frame_msg(frames[fi], ts))
+            res = _recv_json(conn, "result")
+            statuses.append(res["status"])
+            if res["ok"]:
+                assert res["pose"] is not None and len(res["pose"]) == 16
+                poses.append(res["pose"])
+                assert res["proc_ms"] > 0
+            # Map points ride alongside every MAP_POINTS_EVERY-th frame
+            # (gateway counts frames, ok or not) when tracking.
+            if res["ok"] and (fi + 1) % vio_gateway.MAP_POINTS_EVERY == 0:
+                m = _recv_json(conn, "map_points")
+                got_map = got_map or len(m["points"]) > 0
+
+        assert "TRACKING" in statuses, f"never tracked: {set(statuses)}"
+        assert len(poses) > 20
+        assert got_map, "no map points streamed"
+        # Poses are sane SE(3).
+        P = np.asarray(poses[-1]).reshape(4, 4)
+        np.testing.assert_allclose(P[:3, :3] @ P[:3, :3].T, np.eye(3),
+                                   atol=1e-4)
+
+        # Reset -> engine reinitializes.
+        conn.send(json.dumps({"type": "reset"}))
+        _recv_json(conn, "reset_done")
+        conn.send(json.dumps({"type": "get_map_points"}))
+        m = _recv_json(conn, "map_points")
+        assert m["points"] == []
+
+        conn.send(json.dumps({"type": "dispose"}))
+        _recv_json(conn, "disposed")
+    finally:
+        conn.close()
+    print("SESSION_OK", flush=True)
+
+
 class TestGateway:
-    def test_full_session(self, gateway, world):
-        data, frames = world
-        conn = ws.connect("127.0.0.1", gateway)
-        try:
-            conn.send(json.dumps(CONFIG_MSG))
-            msg = _recv_json(conn, "configured")
-            assert msg["ok"] and msg["width"] == 192
-
-            imu = np.column_stack([data.imu_ts, data.imu_acc, data.imu_gyr])
-            imu_i = 0
-            statuses, poses, got_map = [], [], False
-            for fi, ts in enumerate(data.cam_ts):
-                j = np.searchsorted(data.imu_ts, ts + 1e-9)
-                if j > imu_i:
-                    conn.send(_imu_msg(imu[imu_i:j]))
-                    imu_i = j
-                conn.send(_frame_msg(frames[fi], ts))
-                res = _recv_json(conn, "result")
-                statuses.append(res["status"])
-                if res["ok"]:
-                    assert res["pose"] is not None and len(res["pose"]) == 16
-                    poses.append(res["pose"])
-                    assert res["proc_ms"] > 0
-                # Map points ride alongside every MAP_POINTS_EVERY-th frame
-                # (gateway counts frames, ok or not) when tracking.
-                if res["ok"] and (fi + 1) % vio_gateway.MAP_POINTS_EVERY == 0:
-                    m = _recv_json(conn, "map_points")
-                    got_map = got_map or len(m["points"]) > 0
-
-            assert "TRACKING" in statuses, f"never tracked: {set(statuses)}"
-            assert len(poses) > 20
-            assert got_map, "no map points streamed"
-            # Poses are sane SE(3).
-            P = np.asarray(poses[-1]).reshape(4, 4)
-            np.testing.assert_allclose(P[:3, :3] @ P[:3, :3].T, np.eye(3),
-                                       atol=1e-4)
-
-            # Reset -> engine reinitializes.
-            conn.send(json.dumps({"type": "reset"}))
-            _recv_json(conn, "reset_done")
-            conn.send(json.dumps({"type": "get_map_points"}))
-            m = _recv_json(conn, "map_points")
-            assert m["points"] == []
-
-            conn.send(json.dumps({"type": "dispose"}))
-            _recv_json(conn, "disposed")
-        finally:
-            conn.close()
+    def test_full_session_subprocess(self):
+        import subprocess
+        env = dict(os.environ, PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+        assert "SESSION_OK" in out.stdout
 
     def test_error_before_configure(self, gateway):
         conn = ws.connect("127.0.0.1", gateway)
@@ -237,3 +262,12 @@ class TestWSFraming:
         frag(True, ws.OP_CONT, b"mented")
         is_text, payload = server.recv()
         assert is_text and payload == b"fragmented"
+
+
+if __name__ == "__main__":
+    # Subprocess entry (see _full_session_check): conftest.py does not
+    # apply here, so force the CPU backend and f64 before any computation.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    _full_session_check(_make_gateway(), _make_world())

@@ -332,6 +332,11 @@ def _probe_devices(timeout_s: float = 600.0):
 
 
 def main():
+    if "--sqrt" in sys.argv or "--dense-prior" in sys.argv:
+        # A/B hooks for the prior factorization (default: full square-root
+        # pipeline; factors/marginalization.py SQRT_MARGIN_OLD note).
+        from mobile_slam_tpu.factors import marginalization
+        marginalization.enable_sqrt_pipeline("--sqrt" in sys.argv)
     if _probe_devices() is None:
         print(json.dumps({
             "metric": "VIO frames/sec/chip (TUM-VI-like synthetic, chunked)",

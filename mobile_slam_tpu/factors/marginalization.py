@@ -160,9 +160,10 @@ _SUP_N = len(_SUPPORT)
 # as a regularizer (the noise it drops is re-supplied as fresh IMU scale
 # information each frame), while the faithful sqrt path propagates the
 # prior's correlated noise. DENSE stays default on the same evidence
-# standard; the sqrt path is the round-3 lead for a FULL square-root
-# pipeline (incl. margin-old, where the fresh-factor information enters).
-SQRT_MARGIN_NEW = False
+# standard — but see SQRT_MARGIN_OLD below: the FULL square-root pipeline
+# (margin-old + margin-new together) reverses this verdict and is now the
+# default. Keep both flags equal; half-sqrt mixes are the bad configs.
+SQRT_MARGIN_NEW = True
 
 # Full square-root pipeline: margin-OLD also processed without ever forming
 # J0ᵀJ0 of the prior (the sqrt-filter "measurement update"; the approach of
@@ -188,7 +189,21 @@ SQRT_MARGIN_NEW = False
 # roots of the same marginal information; f64 parity test in
 # tests/test_sqrt_marginalization.py). Enable together with
 # SQRT_MARGIN_NEW via enable_sqrt_pipeline() for the full-sqrt A/B.
-SQRT_MARGIN_OLD = False
+#
+# DEFAULT = True since the round-2 multiseed A/Bs (8 seeds x 14 s each):
+#   * feature path, f32 CPU (scripts/dev_multiseed_features.py,
+#     /tmp/multiseed_feat.json): dense ATE median 0.051 m / max 1.250 m
+#     (one scale-soft tail event) vs sqrtfull median 0.005 m / max
+#     0.011 m — ~10x better at median, tail eliminated.
+#   * image path, on chip (scripts/dev_multiseed.py --arms=dense,sqrtfull,
+#     /tmp/multiseed_img_sqrt.json 2026-08-18): dense median 0.044 m /
+#     max 0.129 m vs sqrtfull median 0.008 m / max 0.018 m — 5.5x better
+#     at median, 7x at max, 0 gate trips both arms.
+# This also resolves why HALF-sqrt (SQRT_MARGIN_NEW alone) was worse in
+# the earlier A/B: mixing a sqrt margin-new with a dense-eigh margin-old
+# mixes inconsistent f32 representations of the same prior; all-sqrt is
+# the coherent pipeline and κ(J) (not κ(J)²) conditioning wins end-to-end.
+SQRT_MARGIN_OLD = True
 
 
 def enable_sqrt_pipeline(on: bool = True) -> None:

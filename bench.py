@@ -52,6 +52,20 @@ CHUNK = 50
 FLEET_B = 4   # concurrent sequences in the fleet image-path phase
 BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
 
+# A/B hooks for the solver budget (scripts/dev_multiseed.py is the accuracy
+# side of the A/B; these flags are the fps side). Default 5 LM iterations:
+# with the square-root prior the 8-seed image-path multiseed shows 5 iters
+# statistically identical to 8 (median 0.008 m both arms,
+# artifacts/multiseed_iters.json) — the earlier "8 needed" sweep was a
+# dense-prior artifact.
+ITERS = int(next((a.split("=")[1] for a in sys.argv
+                  if a.startswith("--iters=")), 5))
+_FTOL = next((a.split("=")[1] for a in sys.argv
+              if a.startswith("--ftol=")), None)
+if _FTOL is not None:
+    from mobile_slam_tpu.solver import lm as _lm
+    _lm.EARLY_EXIT_FTOL = None if _FTOL in ("none", "off") else float(_FTOL)
+
 
 def make_cfg():
     cam = CameraConfig(
@@ -68,7 +82,7 @@ def make_cfg():
         tracker=TrackerConfig(max_cnt=150, min_dist=20, max_points=192,
                               fisheye=True),
         estimator=EstimatorConfig(
-            max_features=384, max_imu_per_interval=16, num_iterations=8,
+            max_features=384, max_imu_per_interval=16, num_iterations=ITERS,
             acc_n=0.04, gyr_n=0.004, acc_w=4e-4, gyr_w=2e-5,
         ),
     )
@@ -114,7 +128,7 @@ def run_capacity(cfg, data):
         tracker=TrackerConfig(max_cnt=150, min_dist=20, max_points=256,
                               fisheye=True),
         estimator=EstimatorConfig(
-            max_features=1024, max_imu_per_interval=16, num_iterations=8,
+            max_features=1024, max_imu_per_interval=16, num_iterations=ITERS,
             acc_n=0.04, gyr_n=0.004, acc_w=4e-4, gyr_w=2e-5,
         ),
     )

@@ -122,7 +122,13 @@ class TrackerConfig:
 class EstimatorConfig:
     """Backend parameters (EstimatorConfig, config.h:62-82)."""
 
-    num_iterations: int = 10
+    # LM iteration budget. The reference budgets 10 Ceres iterations
+    # (config.h:62-82) but stops early on function_tolerance; with the
+    # square-root prior our solver converges in <=5 accepted steps — a
+    # 5-vs-8 multiseed A/B is bit-identical per seed at 14 s (8 seeds) and
+    # 140 s (2 seeds) while chunked throughput rises 30%
+    # (artifacts/multiseed_iters.json, artifacts/multiseed_140_iters.json).
+    num_iterations: int = 5
     solver_time: float = 0.05  # Advisory only; the TPU solver is iteration-budgeted.
     min_parallax: float = 10.0  # Keyframe threshold in pixels.
     init_depth: float = 5.0

@@ -32,7 +32,13 @@ const App = {
         `ws://${location.hostname}:8765/`;
     const profile = url.get('profile') || 'mobile_default';
 
-    this.vio = new VIOClient(gateway);
+    // Default: Worker-owned socket + client-side IMU ring buffer
+    // (vio-wrapper.js / vio-worker.js, mirroring the reference's worker
+    // architecture) so capture and rendering never block on engine I/O.
+    // ?worker=0 falls back to the direct main-thread client.
+    const useWorker = url.get('worker') !== '0' &&
+        typeof Worker !== 'undefined';
+    this.vio = useWorker ? new VIOWrapper(gateway) : new VIOClient(gateway);
     await this.vio.connect();
     this.vio.onLog = (m) => this._status(m);
 

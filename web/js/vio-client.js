@@ -24,6 +24,7 @@ class VIOClient {
     this.stats = { sent: 0, dropped: 0, results: 0, procMs: 0 };
     this._waiters = {};         // type -> [resolve]
     this.onResult = null;       // optional callback(result)
+    this.onMapPoints = null;    // optional callback(points)
     this.onLog = null;
   }
 
@@ -49,6 +50,7 @@ class VIOClient {
       if (this.onResult) this.onResult(msg);
     } else if (msg.type === 'map_points') {
       this.latestMapPoints = msg.points;
+      if (this.onMapPoints) this.onMapPoints(msg.points);
     } else if (msg.type === 'error') {
       this.busy = false;
       if (this.onLog) this.onLog('gateway error: ' + msg.message);

@@ -10,9 +10,11 @@ gathers with block loads:
 
   * Mosaic only allows dynamic block offsets that are 8-aligned in the
     sublane dim and 128-aligned in the lane dim, so a patch block is
-    fetched as 32 full-width rows at the 8-aligned floor (pl.multiple_of),
-    then aligned exactly with two dynamic pltpu.roll rotations and a
-    static slice,
+    fetched as a (40, 256) superblock at the aligned floor
+    (pl.multiple_of), then aligned exactly with two dynamic pltpu.roll
+    rotations and a static slice (_load_block; a one-hot-matmul lane
+    select is kept as _load_block_matmul for toolchains where wide
+    dynamic lane rotates miscompile),
   * bilinear interpolation = 4 statically-shifted (win, win) sub-blocks
     weighted by the scalar fractional part,
   * template Scharr gradients are computed on the template block itself —
@@ -58,18 +60,26 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift, axis)
 
 
-def _load_block(ref, by, bx, rows, cols, h, w):
-    """(rows, cols) block of ref at dynamic origin (by, bx).
+# Superblock fetch geometry for _load_block: 32 rows covers the largest
+# requested block (win+3 = 24 rows) plus the 8-align remainder (<8, and
+# exactly 8 at the clamped bottom edge); 256 lanes covers 24 cols at any
+# 128-align remainder (<128, up to 232 at the clamped right edge).
+# BOTH must be powers of two: pltpu.roll's dynamic rotate silently
+# miscompiles on non-power-of-2 axis sizes (empirically: 40 rows returns
+# wrong content with no error; 32 and 256 are bit-exact — probe in
+# scripts/dev_lk_load_ab.py).
+_FETCH_ROWS = 32
+_FETCH_LANES = 256
 
-    by must be pre-clamped to [0, h - rows], bx to [0, w - cols];
-    requires h >= _ROWS (every pyramid level here is >= 64).
 
-    Mosaic only allows dynamic sublane offsets it can prove 8-aligned and
-    no unaligned dynamic lane offsets at all, so: fetch 32 full-width rows
-    at the 8-aligned floor, rotate the remainder with a dynamic sublane
-    roll, and select the lane window with a one-hot MXU matmul (a dynamic
-    LANE rotate exists but miscompiles for widths > 256 on this toolchain
-    — verified empirically; the matmul is exact for any width)."""
+def _load_block_matmul(ref, by, bx, rows, cols, h, w):
+    """Legacy lane selection via one-hot MXU matmul (exact for any width).
+
+    Kept as the fallback for toolchains where the dynamic lane rotate in
+    _load_block miscompiles: flip USE_ROLL_LOADS below and every kernel
+    routes through this path. Measured ~2x slower per block load than the
+    roll path (the matmul is tiny and MXU-latency-bound, and building the
+    (wpad, cols) one-hot costs more VPU work than two rolls)."""
     wpad = ref.shape[1]
     by8 = jnp.minimum(8 * (by // 8), h - _ROWS)
     sub = by - by8
@@ -86,6 +96,56 @@ def _load_block(ref, by, bx, rows, cols, h, w):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     return blk[:rows]
+
+
+# The roll path is the default: exact (pure data movement, no arithmetic)
+# and ~2x faster end-to-end LK than the matmul select. Set False to fall
+# back to the matmul path on toolchains where a 256-lane dynamic rotate
+# miscompiles (the >256-lane rotate does, which is what the matmul path
+# was originally written around).
+USE_ROLL_LOADS = True
+
+
+def _load_block(ref, by, bx, rows, cols, h, w):
+    """(rows, cols) block of ref at dynamic origin (by, bx).
+
+    by must be pre-clamped to [0, h - rows] and bx to [0, w - cols] in
+    LOGICAL padded coordinates (h, w = replicate-padded extents; ref may
+    carry extra zero padding beyond them for alignment).
+
+    Mosaic only allows dynamic block offsets it can prove 8-aligned in the
+    sublane dim and 128-aligned in the lane dim, so: fetch a
+    (_FETCH_ROWS, _FETCH_LANES) superblock at the aligned floor, rotate the
+    remainders away with two dynamic pltpu.rolls (exact ONLY on power-of-2
+    axis sizes — see the _FETCH_ROWS comment), and take a static slice.
+    Requires ref rows % 8 == 0, ref lanes % 128 == 0 and >= 256 —
+    _pad_for_kernel guarantees both."""
+    if not USE_ROLL_LOADS:
+        return _load_block_matmul(ref, by, bx, rows, cols, h, w)
+    hp, wpad = ref.shape
+    by8 = jnp.minimum(8 * (by // 8), hp - _FETCH_ROWS)
+    obx = jnp.minimum(128 * (bx // 128), wpad - _FETCH_LANES)
+    blk = ref[pl.ds(pl.multiple_of(by8, 8), _FETCH_ROWS),
+              pl.ds(pl.multiple_of(obx, 128), _FETCH_LANES)]
+    blk = _roll(blk, -(by - by8), axis=0)
+    blk = _roll(blk, -(bx - obx), axis=1)
+    return blk[:rows, :cols]
+
+
+def _pad_for_kernel(p, pad):
+    """Replicate-pad by `pad` (== ops/lk.py's per-pixel border clamp for
+    any window within `pad`; cv::buildOpticalFlowPyramid does the same),
+    then zero-pad to the _load_block alignment contract: rows to a
+    multiple of 8, lanes to a multiple of 128 with a 256 minimum. The
+    zero lanes/rows are never read (all block origins are clamped to the
+    replicate-padded extents before the aligned fetch)."""
+    p = jnp.pad(p, pad, mode="edge")
+    hp, wp = p.shape
+    ht = max(_FETCH_ROWS, -(-hp // 8) * 8)
+    wt = max(_FETCH_LANES, -(-wp // 128) * 128)
+    if (ht, wt) != (hp, wp):
+        p = jnp.pad(p, ((0, ht - hp), (0, wt - wp)))
+    return p
 
 
 def _bilinear_block(block, fx, fy, win):
@@ -248,20 +308,8 @@ def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
     half = (params.window - 1) // 2
     pad = half + 2  # covers the window + bilinear +1 + Scharr apron
 
-    def _pad_img(p):
-        # Replicate padding == ops/lk.py's per-pixel border clamp for any
-        # window within `pad` of the border (cv::buildOpticalFlowPyramid
-        # does the same). Lane dim is then zero-padded to >= 128 for
-        # Mosaic's vector ops; the zeros are never read (origin clamps
-        # stay within the replicate-padded region).
-        p = jnp.pad(p, pad, mode="edge")
-        w = p.shape[1]
-        if w < 128:
-            p = jnp.pad(p, ((0, 0), (0, 128 - w)))
-        return p
-
-    prev_pyr = [_pad_img(p) for p in prev_pyr]
-    next_pyr = [_pad_img(p) for p in next_pyr]
+    prev_pyr = [_pad_for_kernel(p, pad) for p in prev_pyr]
+    next_pyr = [_pad_for_kernel(p, pad) for p in next_pyr]
 
     kernel = functools.partial(_lk_kernel, params=params, shapes=shapes,
                                pad=pad)
@@ -442,7 +490,7 @@ def _refine_template(img, t_patch, gx, gy, pos0, active, window, iters,
         ),
         interpret=_INTERPRET,
     )(pos0.astype(f32), active.astype(jnp.int32),
-      jnp.pad(img.astype(f32), pad, mode="edge"), t3, gx3, gy3)
+      _pad_for_kernel(img.astype(f32), pad), t3, gx3, gy3)
 
     pos = jnp.concatenate([out_x, out_y], axis=1)
     return pos, out_ok[:, 0] != 0, out_res[:, 0]
@@ -512,7 +560,7 @@ def _extract_patches(img, centers, window):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=_INTERPRET,
-    )(centers.astype(f32), jnp.pad(img.astype(f32), pad, mode="edge"))
+    )(centers.astype(f32), _pad_for_kernel(img.astype(f32), pad))
 
     return (t3.reshape(k_slots, window * window),
             gx3.reshape(k_slots, window * window),

@@ -97,6 +97,18 @@ class TrackerConfig:
     # occlusion/aperture failures cv::calcOpticalFlowPyrLK lets through.
     fb_check: bool = True
     fb_max_err: float = 0.5
+    # Backward-pass implementation for the FB check:
+    #   "pyramid" — full pyramidal LK next->prev from the tracked position
+    #               (symmetric to the forward pass; 2x the LK cost);
+    #   "prior0"  — finest-level-only refinement initialized AT the known
+    #               origin (prev position): extract the patch around the
+    #               tracked point in the NEW frame, KLT-refine it in the
+    #               PREVIOUS frame starting from the old position, and
+    #               require it to stay there. Tests the same next->prev
+    #               photometric consistency at ~1/5 the cost; the round
+    #               trip a bad track fails is the same (the new-frame
+    #               patch does not match the old position).
+    fb_mode: str = "pyramid"
     # Anchor-template refinement: re-localize each track against its
     # first-observation patch (zero-mean KLT at full resolution) so
     # frame-to-frame errors do not random-walk. Re-anchors automatically

@@ -173,6 +173,8 @@ def detect_and_track(
             list(p0), list(p1), pts, act, prm))
     lk_refine = (lk_pallas.refine_template if use_pallas
                  else lk.refine_template)
+    extract = (lk_pallas.extract_patches if use_pallas
+               else lk.extract_patches)
 
     # --- LK tracking of existing points -------------------------------
     params = lk.LKParams(
@@ -194,8 +196,20 @@ def detect_and_track(
     # its origin. Culls occlusion/aperture drifts that pass the min-eig
     # health check (the reference relies on F-RANSAC alone here).
     if cfg.fb_check:
-        back_pts, ok_b = lk_track(pyr, tuple(state.pyr), new_pts, active,
-                                  params)
+        if cfg.fb_mode == "prior0":
+            # Prior-initialized finest-level verification (TrackerConfig
+            # docstring): match the NEW frame's patch at the tracked point
+            # against the PREVIOUS frame starting from the old position —
+            # a good track is a fixed point there; a drifted/occluded one
+            # pulls away or fails. ~1/5 the cost of the pyramidal pass.
+            tp_b, gx_b, gy_b = extract(img, new_pts, cfg.lk_window_size)
+            back_pts, ok_b, _resid_b = lk_refine(
+                state.pyr[0], tp_b, gx_b, gy_b, state.pts, active,
+                cfg.lk_window_size, cfg.lk_iterations, cfg.lk_eps,
+                2.0 + cfg.fb_max_err)
+        else:
+            back_pts, ok_b = lk_track(pyr, tuple(state.pyr), new_pts,
+                                      active, params)
         fb2 = jnp.sum((back_pts - state.pts) ** 2, axis=-1)
         active = active & ok_b & (fb2 <= cfg.fb_max_err ** 2)
 
@@ -294,8 +308,6 @@ def detect_and_track(
 
     # --- Anchor updates: new detections + appearance-change re-anchors ---
     if cfg.anchor_refine:
-        extract = (lk_pallas.extract_patches if use_pallas
-                   else lk.extract_patches)
         tp_new, gx_new, gy_new = extract(img, pts_out, cfg.lk_window_size)
         upd = (placed | reanchor)[:, None]
         anchor_tp = jnp.where(upd, tp_new, state.anchor_tp)

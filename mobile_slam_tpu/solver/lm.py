@@ -42,6 +42,19 @@ NSOLVE = layout.EX_COL  # 165 solved dims (extrinsic held constant,
 # is culled after the solve: 2.0 ≈ 3 pixels.
 OUTLIER_REPROJ_WHITENED = 2.0
 
+# Greedy dual-candidate evaluation (solver/lm.solve): the LM step tries a
+# near-Gauss-Newton candidate and a conservative Marquardt candidate each
+# iteration. False (default) solves and scores BOTH and keeps the better —
+# two Schur solves + two cost evaluations per iteration. True wraps the
+# fallback candidate in a lax.cond so it is only computed when the GN
+# candidate failed to lower the cost (Ceres' DOGLEG likewise prefers the
+# GN step outright when it is admissible) — on converged tracking frames
+# this halves the per-iteration solver cost. Semantics differ only on
+# iterations where BOTH candidates improve the cost and the damped one
+# improves it more; the multiseed E2E A/B (dev_multiseed.py arm token
+# ":greedy=1") gates any default flip per the ROUND2_NOTES cautionary tale.
+GREEDY_GN = False
+
 # Ceres-style function-tolerance early exit (solver/lm.solve): when set to a
 # float, the fixed-count fori_loop becomes a while_loop that stops once an
 # accepted step improves the cost by less than ftol * cost — the same
@@ -154,14 +167,24 @@ def solve(
         # Dogleg-style dual candidate: a near-Gauss-Newton step (traverses
         # the stiff bias-chain valley like Ceres' DOGLEG GN step does) and a
         # conservative Marquardt step (safe far from the optimum). Take
-        # whichever lowers the robust cost more.
+        # whichever lowers the robust cost more (GREEDY_GN: take the GN
+        # step outright when it improves, computing the fallback lazily).
         dx_a, dlam_a = _solve_damped(eqs, mu, lam_mask, dtype)
-        dx_b, dlam_b = _solve_damped(eqs, jnp.asarray(1e-4, dtype),
-                                     lam_mask, dtype)
         x_a = _retract(x, dx_a, dlam_a, lam_mask)
-        x_b = _retract(x, dx_b, dlam_b, lam_mask)
         cost_a = cost_fn(x_a)
-        cost_b = cost_fn(x_b)
+
+        def eval_b(_):
+            dx_b, dlam_b = _solve_damped(eqs, jnp.asarray(1e-4, dtype),
+                                         lam_mask, dtype)
+            x_b = _retract(x, dx_b, dlam_b, lam_mask)
+            return x_b, cost_fn(x_b)
+
+        if GREEDY_GN:
+            good_a = jnp.isfinite(cost_a) & (cost_a < cost)
+            x_b, cost_b = jax.lax.cond(
+                good_a, lambda _: (x_a, cost_a), eval_b, None)
+        else:
+            x_b, cost_b = eval_b(None)
         use_a = jnp.isfinite(cost_a) & (cost_a <= jnp.where(
             jnp.isfinite(cost_b), cost_b, jnp.inf))
         x_new = jax.tree.map(lambda a, b: jnp.where(use_a, a, b), x_a, x_b)

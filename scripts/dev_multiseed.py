@@ -201,6 +201,15 @@ def main():
                 from mobile_slam_tpu.solver import lm as _lm
                 _lm.EARLY_EXIT_FTOL = (None if v in ("none", "off")
                                        else float(v))
+            elif k == "greedy":
+                from mobile_slam_tpu.solver import lm as _lm
+                _lm.GREEDY_GN = v not in ("0", "false")
+            elif k == "ransac":
+                arm_cfg = arm_cfg.replace(tracker=_dc.replace(
+                    arm_cfg.tracker, ransac_iters=int(v)))
+            elif k == "fbmode":
+                arm_cfg = arm_cfg.replace(tracker=_dc.replace(
+                    arm_cfg.tracker, fb_mode=v))
             elif k == "luransac":
                 from mobile_slam_tpu.ops import ransac as _rs
                 _rs.USE_LU_HYPOTHESES = v not in ("0", "false")

@@ -185,7 +185,7 @@ def main():
 
     print("\n--- estimator (one frame, window=11) ---")
     is_kf = jnp.asarray(True)
-    t_solve = timed("solve_and_slide (8 LM iters)", engine._solve,
+    t_solve = timed(f"solve_and_slide ({cfg.estimator.num_iterations} LM iters)", engine._solve,
                     engine.state, is_kf, engine.params)
 
     # Solver sub-parts at the same state/shapes.
@@ -227,9 +227,10 @@ def main():
         x, table, wdw.pre, imu_sqrt_info, imu_valid, st.prior,
         pp.ex_t, pp.ex_q, sp, proj_valid))
     timed("  total_cost (x1)", cost_fn, x0)
+    n_it = cfg.estimator.num_iterations
     lm_fn = jax.jit(lambda x: lm_mod.solve(
-        x, table, wdw, st.prior, pp.ex_t, pp.ex_q, sp, 8))
-    timed("  lm.solve (8 iters)", lm_fn, x0)
+        x, table, wdw, st.prior, pp.ex_t, pp.ex_q, sp, n_it))
+    timed(f"  lm.solve ({n_it} iters)", lm_fn, x0)
     mo_fn = jax.jit(lambda x: marginalization.marginalize_old(
         x, table, wdw, imu_sqrt_info, st.prior, pp.ex_t, pp.ex_q, sp))
     timed("  marginalize_old", mo_fn, x0)

@@ -56,6 +56,7 @@ def main():
         max_cnt=150, min_dist=20, max_points=192, fisheye=True,
         anchor_refine="--no-anchor" not in sys.argv,
         fb_check="--no-fb" not in sys.argv,
+        fb_mode="prior0" if "--fb-prior0" in sys.argv else "pyramid",
         use_pallas=False if "--no-pallas" in sys.argv else None,
     )
 

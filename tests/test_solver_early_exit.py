@@ -69,6 +69,18 @@ def _run_checks():
     lm.EARLY_EXIT_FTOL = None
     print("FTOL_LOOSE_OK", flush=True)
 
+    # 4. GREEDY_GN: lazily evaluating the damped fallback may only differ
+    #    on iterations where both candidates improve and the damped one
+    #    improves MORE (rare near convergence); the solve must still
+    #    converge to an equivalent solution on the example problem.
+    lm.GREEDY_GN = True
+    p5, q5, c5, a5 = solved(state, params, 8)
+    lm.GREEDY_GN = False
+    assert np.isfinite(c5) and c5 <= c0 * 1.05, (c5, c0)
+    assert a5 >= 1
+    np.testing.assert_allclose(p5, p0, atol=1e-3)
+    print("GREEDY_OK", flush=True)
+
 
 class TestEarlyExitLM:
     def test_early_exit_subprocess(self):
@@ -79,7 +91,8 @@ class TestEarlyExitLM:
             capture_output=True, text=True, timeout=1800,
         )
         assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
-        for marker in ("FTOL0_OK", "FTOL_SMALL_OK", "FTOL_LOOSE_OK"):
+        for marker in ("FTOL0_OK", "FTOL_SMALL_OK", "FTOL_LOOSE_OK",
+                       "GREEDY_OK"):
             assert marker in out.stdout
 
 

@@ -2,8 +2,8 @@
 
 No JS engine ships on this machine (the reference ran its WASM smoke tests
 under node, wasm/test_wasm_module.mjs), so the executable coverage of the
-client JS is the browser itself (verified via the live recipe in
-docs/live_viewer.md). What CAN regress silently is the wire contract:
+client JS is the browser itself (two-terminal recipe in README "Live 3D
+view"). What CAN regress silently is the wire contract:
 these tests parse the JS sources and pin their binary-layout offsets and
 worker-policy constants to the gateway's, so either side drifting breaks
 the suite instead of the app.

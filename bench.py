@@ -53,13 +53,14 @@ FLEET_B = 4   # concurrent sequences in the fleet image-path phase
 BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
 
 # A/B hooks for the solver budget (scripts/dev_multiseed.py is the accuracy
-# side of the A/B; these flags are the fps side). Default 5 LM iterations:
-# with the square-root prior the 8-seed image-path multiseed shows 5 iters
-# statistically identical to 8 (median 0.008 m both arms,
-# artifacts/multiseed_iters.json) — the earlier "8 needed" sweep was a
+# side of the A/B; these flags are the fps side). Default 3 LM iterations:
+# with the square-root prior the image-path multiseeds show 3 == 5 == 8
+# (8 seeds x 14 s AND 2 seeds x 140 s, where the 3-iter fast package is
+# slightly better: 0.024 vs 0.030 m — artifacts/multiseed_it3_ransac32.json,
+# multiseed_140_fastpkg.json). The earlier "8 needed" sweep was a
 # dense-prior artifact.
 ITERS = int(next((a.split("=")[1] for a in sys.argv
-                  if a.startswith("--iters=")), 5))
+                  if a.startswith("--iters=")), 3))
 _FTOL = next((a.split("=")[1] for a in sys.argv
               if a.startswith("--ftol=")), None)
 if _FTOL is not None:

@@ -89,7 +89,10 @@ class TrackerConfig:
     # Fixed-capacity point slots for the jitted tracker (>= max_cnt).
     max_points: int = 192
     # RANSAC hypothesis count for the vectorized F-matrix rejection.
-    ransac_iters: int = 64
+    # 32 == 64 in the 8-seed image-path A/B (the estimator's own outlier
+    # culling + FB check backstop the weaker single-shot confidence);
+    # artifacts/multiseed_it3_ransac32.json.
+    ransac_iters: int = 32
     # Shi-Tomasi detection grid (replaces the sequential min-dist mask paint).
     quality_level: float = 0.01
     # Forward-backward verification: track next->prev and kill tracks whose
@@ -108,7 +111,10 @@ class TrackerConfig:
     #               photometric consistency at ~1/5 the cost; the round
     #               trip a bad track fails is the same (the new-frame
     #               patch does not match the old position).
-    fb_mode: str = "pyramid"
+    # Default prior0: E2E-identical to pyramid in the 8-seed 14 s and
+    # 2-seed 140 s A/Bs (artifacts/multiseed_fbprior0.json,
+    # multiseed_140_fastpkg.json) at ~1/5 the cost.
+    fb_mode: str = "prior0"
     # Anchor-template refinement: re-localize each track against its
     # first-observation patch (zero-mean KLT at full resolution) so
     # frame-to-frame errors do not random-walk. Re-anchors automatically
@@ -140,7 +146,11 @@ class EstimatorConfig:
     # 5-vs-8 multiseed A/B is bit-identical per seed at 14 s (8 seeds) and
     # 140 s (2 seeds) while chunked throughput rises 30%
     # (artifacts/multiseed_iters.json, artifacts/multiseed_140_iters.json).
-    num_iterations: int = 5
+    # 3 LM iterations == 5 == 8 with the square-root prior: 8-seed 14 s and
+    # 2-seed 140 s image-path A/Bs are statistically identical (the fast
+    # package is slightly BETTER at 140 s: 0.024 vs 0.030 m median) —
+    # artifacts/multiseed_it3_ransac32.json, multiseed_140_fastpkg.json.
+    num_iterations: int = 3
     solver_time: float = 0.05  # Advisory only; the TPU solver is iteration-budgeted.
     min_parallax: float = 10.0  # Keyframe threshold in pixels.
     init_depth: float = 5.0

@@ -28,15 +28,16 @@ def clahe(
     x = jnp.clip(img, 0.0, 255.0)
     xi = jnp.round(x).astype(jnp.int32)
 
-    # One-hot pixel encodings in bfloat16: both the 0/1 selectors and the
-    # integer LUT values (<= 255, 8 mantissa bits) are bf16-exact, so every
-    # contraction below is exact with float32 accumulation — and the MXU
-    # runs them at full rate. (Element gathers, the obvious formulation,
-    # serialize on TPU; see ops/lk_pallas.py for the same pathology.)
+    # One-hot pixel encodings in int8: exact 0/1 selectors at half the HBM
+    # traffic of the earlier bf16 formulation — the (pixels, 256) one-hot
+    # intermediates are the dominant cost of this op (134 MB each at bf16
+    # for 512x512), and every contraction below accumulates in int32, so
+    # the result stays bit-exact. (Element gathers, the obvious
+    # formulation, serialize on TPU; see ops/lk_pallas.py.)
     tiles_px = xi.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
     tiles_px = tiles_px.reshape(tiles * tiles, area)
-    onehot = jax.nn.one_hot(tiles_px, 256, dtype=jnp.bfloat16)
-    hist = jnp.sum(onehot, axis=1, dtype=jnp.float32)         # (T, 256)
+    onehot = jax.nn.one_hot(tiles_px, 256, dtype=jnp.int8)
+    hist = jnp.sum(onehot, axis=1, dtype=jnp.int32).astype(jnp.float32)
 
     # Clip + redistribute (OpenCV semantics: limit = max(clip*area/256, 1)).
     limit = jnp.maximum(clip_limit * area / 256.0, 1.0)
@@ -63,8 +64,12 @@ def clahe(
     t1 = jnp.clip((bi - 1) // 2 + 1, 0, tiles - 1)
 
     # (nb, nb, 4) neighbor tile pairs -> flat LUT row ids, then the 4 LUTs
-    # per block: (B, 4, 256).
-    lut_flat = lut.reshape(tiles * tiles, 256).astype(jnp.bfloat16)
+    # per block: (B, 4, 256). LUT values are 0..255, which does not fit
+    # int8 — contract against (lut - 128) (range -128..127, exact) and add
+    # the 128 back afterward: a one-hot row sums to exactly 1, so
+    # onehot @ lut == onehot @ (lut - 128) + 128 in integer arithmetic.
+    lut_flat = (lut.astype(jnp.int32) - 128).astype(jnp.int8)
+    lut_flat = lut_flat.reshape(tiles * tiles, 256)
     ids = jnp.stack([
         t0[:, None] * tiles + t0[None, :],
         t0[:, None] * tiles + t1[None, :],
@@ -75,9 +80,9 @@ def clahe(
 
     blocks_px = xi.reshape(nb, bs_y, nb, bs_x).transpose(0, 2, 1, 3)
     blocks_px = blocks_px.reshape(nb * nb, bs_y * bs_x)
-    oh_b = jax.nn.one_hot(blocks_px, 256, dtype=jnp.bfloat16)
+    oh_b = jax.nn.one_hot(blocks_px, 256, dtype=jnp.int8)
     vals = jnp.einsum("bpc,bqc->bpq", oh_b, lut4,
-                      preferred_element_type=jnp.float32)  # (B, px, 4)
+                      preferred_element_type=jnp.int32) + 128  # (B, px, 4)
     vals = vals.reshape(nb, nb, bs_y, bs_x, 4).transpose(0, 2, 1, 3, 4)
     vals = vals.reshape(h, w, 4).astype(dtype)
 

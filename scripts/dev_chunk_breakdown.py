@@ -92,8 +92,10 @@ def main():
         ))
     batch = jax.device_put(chunked.stack_image_inputs(inputs))
 
-    def time_arm(name, tcfg=None, iters=None, greedy=False):
+    def time_arm(name, tcfg=None, iters=None, greedy=False, sqrt_mrg=True):
+        from mobile_slam_tpu.factors import marginalization as mrg
         lm_mod.GREEDY_GN = greedy
+        mrg.enable_sqrt_pipeline(sqrt_mrg)
         step = chunked.make_chunked_image_step(
             engine.params, iters or cfg.estimator.num_iterations,
             tcfg or cfg.tracker, engine.camera, cfg.camera.focal_length)
@@ -106,12 +108,13 @@ def main():
         jax.block_until_ready(out[0])
         ms = 1e3 * (time.perf_counter() - t0) / (REP_CHUNKS * CHUNK)
         lm_mod.GREEDY_GN = False
+        mrg.enable_sqrt_pipeline(True)
         print(f"{name:40s} {ms:7.3f} ms/frame  ({1e3/ms:6.1f} fps)",
               flush=True)
         return ms
 
     base = cfg.tracker
-    t_full = time_arm("full (iters=5)")
+    t_full = time_arm(f"full (iters={cfg.estimator.num_iterations})")
     time_arm("fb_check off",
              tcfg=dataclasses.replace(base, fb_check=False))
     time_arm("anchor_refine off",
@@ -120,14 +123,13 @@ def main():
              tcfg=dataclasses.replace(base, ransac_iters=1))
     time_arm("equalize (CLAHE) off",
              tcfg=dataclasses.replace(base, equalize=False))
-    time_arm("iters=3", iters=3)
-    time_arm("greedy GN (iters=5)", greedy=True)
-    time_arm("greedy GN + iters=3", iters=3, greedy=True)
+    time_arm("dense-eigh marginalization (timing only)", sqrt_mrg=False)
+    time_arm("iters=1 (timing only)", iters=1)
     t_min = time_arm(
-        "all tracker extras off + greedy + it3",
+        "all tracker extras off + iters=1",
         tcfg=dataclasses.replace(base, fb_check=False, anchor_refine=False,
                                  ransac_iters=1, equalize=False),
-        iters=3, greedy=True)
+        iters=1)
     print(f"\nfull {t_full:.3f} -> floor {t_min:.3f} ms/frame", flush=True)
 
 

@@ -210,6 +210,12 @@ def main():
             elif k == "fbmode":
                 arm_cfg = arm_cfg.replace(tracker=_dc.replace(
                     arm_cfg.tracker, fb_mode=v))
+            elif k == "anchiters":
+                arm_cfg = arm_cfg.replace(tracker=_dc.replace(
+                    arm_cfg.tracker, anchor_iters=int(v)))
+            elif k == "maxpts":
+                arm_cfg = arm_cfg.replace(tracker=_dc.replace(
+                    arm_cfg.tracker, max_points=int(v)))
             elif k == "luransac":
                 from mobile_slam_tpu.ops import ransac as _rs
                 _rs.USE_LU_HYPOTHESES = v not in ("0", "false")

@@ -55,6 +55,18 @@ OUTLIER_REPROJ_WHITENED = 2.0
 # ":greedy=1") gates any default flip per the ROUND2_NOTES cautionary tale.
 GREEDY_GN = False
 
+# Batched dual-candidate evaluation (solver/lm.solve): when True, the two
+# LM candidates (near-GN and conservative Marquardt) are solved by ONE
+# vmapped Schur solve (a (2, 165, 165) batched Cholesky) and scored by ONE
+# vmapped cost evaluation, instead of two sequential solve+cost chains.
+# The per-candidate arithmetic is identical; only the XLA scheduling
+# changes (batched kernels vs two serial dispatch chains), so results may
+# differ at f32-rounding level — which, per ROUND2_NOTES' scale-softness
+# analysis, is enough to move individual draws. Any default flip is gated
+# on the image-path multiseed A/B (dev_multiseed.py arm token
+# ":batchcand=1") per the ROUND2_NOTES cautionary tale.
+BATCH_CANDIDATES = False
+
 # Ceres-style function-tolerance early exit (solver/lm.solve): when set to a
 # float, the fixed-count fori_loop becomes a while_loop that stops once an
 # accepted step improves the cost by less than ftol * cost — the same
@@ -169,22 +181,38 @@ def solve(
         # conservative Marquardt step (safe far from the optimum). Take
         # whichever lowers the robust cost more (GREEDY_GN: take the GN
         # step outright when it improves, computing the fallback lazily).
-        dx_a, dlam_a = _solve_damped(eqs, mu, lam_mask, dtype)
-        x_a = _retract(x, dx_a, dlam_a, lam_mask)
-        cost_a = cost_fn(x_a)
-
-        def eval_b(_):
-            dx_b, dlam_b = _solve_damped(eqs, jnp.asarray(1e-4, dtype),
-                                         lam_mask, dtype)
-            x_b = _retract(x, dx_b, dlam_b, lam_mask)
-            return x_b, cost_fn(x_b)
-
-        if GREEDY_GN:
-            good_a = jnp.isfinite(cost_a) & (cost_a < cost)
-            x_b, cost_b = jax.lax.cond(
-                good_a, lambda _: (x_a, cost_a), eval_b, None)
+        if BATCH_CANDIDATES and not GREEDY_GN:
+            # One batched Schur solve + one batched cost eval for both
+            # candidates: halves the serial dispatch chain per iteration
+            # (the 165x165 Cholesky and the cost evaluation are latency-
+            # bound at this size, so the batch-2 versions cost ~the same
+            # as one).
+            mus = jnp.stack([mu, jnp.asarray(1e-4, dtype)])
+            dxs, dlams = jax.vmap(
+                lambda m: _solve_damped(eqs, m, lam_mask, dtype))(mus)
+            xs = jax.vmap(lambda d, dl: _retract(x, d, dl, lam_mask))(
+                dxs, dlams)
+            costs = jax.vmap(cost_fn)(xs)
+            x_a = jax.tree.map(lambda t: t[0], xs)
+            x_b = jax.tree.map(lambda t: t[1], xs)
+            cost_a, cost_b = costs[0], costs[1]
         else:
-            x_b, cost_b = eval_b(None)
+            dx_a, dlam_a = _solve_damped(eqs, mu, lam_mask, dtype)
+            x_a = _retract(x, dx_a, dlam_a, lam_mask)
+            cost_a = cost_fn(x_a)
+
+            def eval_b(_):
+                dx_b, dlam_b = _solve_damped(eqs, jnp.asarray(1e-4, dtype),
+                                             lam_mask, dtype)
+                x_b = _retract(x, dx_b, dlam_b, lam_mask)
+                return x_b, cost_fn(x_b)
+
+            if GREEDY_GN:
+                good_a = jnp.isfinite(cost_a) & (cost_a < cost)
+                x_b, cost_b = jax.lax.cond(
+                    good_a, lambda _: (x_a, cost_a), eval_b, None)
+            else:
+                x_b, cost_b = eval_b(None)
         use_a = jnp.isfinite(cost_a) & (cost_a <= jnp.where(
             jnp.isfinite(cost_b), cost_b, jnp.inf))
         x_new = jax.tree.map(lambda a, b: jnp.where(use_a, a, b), x_a, x_b)

@@ -216,6 +216,9 @@ def main():
             elif k == "maxpts":
                 arm_cfg = arm_cfg.replace(tracker=_dc.replace(
                     arm_cfg.tracker, max_points=int(v)))
+            elif k == "batchcand":
+                from mobile_slam_tpu.solver import lm as _lm
+                _lm.BATCH_CANDIDATES = v not in ("0", "false")
             elif k == "luransac":
                 from mobile_slam_tpu.ops import ransac as _rs
                 _rs.USE_LU_HYPOTHESES = v not in ("0", "false")

@@ -61,6 +61,8 @@ def set_arm(arm):
         k, v = t.split("=")
         if k == "ftol":
             lm.EARLY_EXIT_FTOL = None if v in ("none", "off") else float(v)
+        elif k == "batchcand":
+            lm.BATCH_CANDIDATES = v not in ("0", "false")
         elif k == "iters":
             return int(v)
     return None

@@ -66,6 +66,21 @@ _FTOL = next((a.split("=")[1] for a in sys.argv
 if _FTOL is not None:
     from mobile_slam_tpu.solver import lm as _lm
     _lm.EARLY_EXIT_FTOL = None if _FTOL in ("none", "off") else float(_FTOL)
+# Tracker-side A/B hooks (accuracy side: dev_multiseed.py arm tokens
+# ransac=/anchiters=/maxpts=; this is the fps side). Defaults follow
+# TrackerConfig so config-default flips propagate here automatically.
+RANSAC_ITERS = int(next((a.split("=")[1] for a in sys.argv
+                         if a.startswith("--ransac=")),
+                        TrackerConfig.ransac_iters))
+ANCHOR_ITERS = int(next((a.split("=")[1] for a in sys.argv
+                         if a.startswith("--anchiters=")),
+                        TrackerConfig.anchor_iters))
+MAX_POINTS = int(next((a.split("=")[1] for a in sys.argv
+                       if a.startswith("--maxpts=")),
+                      TrackerConfig.max_points))
+if "--batchcand" in sys.argv:
+    from mobile_slam_tpu.solver import lm as _lm2
+    _lm2.BATCH_CANDIDATES = True
 
 
 def make_cfg():
@@ -80,8 +95,9 @@ def make_cfg():
     )
     return VIOConfig(
         camera=cam,
-        tracker=TrackerConfig(max_cnt=150, min_dist=20, max_points=192,
-                              fisheye=True),
+        tracker=TrackerConfig(max_cnt=150, min_dist=20, max_points=MAX_POINTS,
+                              fisheye=True, ransac_iters=RANSAC_ITERS,
+                              anchor_iters=ANCHOR_ITERS),
         estimator=EstimatorConfig(
             max_features=384, max_imu_per_interval=16, num_iterations=ITERS,
             acc_n=0.04, gyr_n=0.004, acc_w=4e-4, gyr_w=2e-5,

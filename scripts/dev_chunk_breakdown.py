@@ -92,9 +92,11 @@ def main():
         ))
     batch = jax.device_put(chunked.stack_image_inputs(inputs))
 
-    def time_arm(name, tcfg=None, iters=None, greedy=False, sqrt_mrg=True):
+    def time_arm(name, tcfg=None, iters=None, greedy=False, sqrt_mrg=True,
+                 batchcand=False):
         from mobile_slam_tpu.factors import marginalization as mrg
         lm_mod.GREEDY_GN = greedy
+        lm_mod.BATCH_CANDIDATES = batchcand
         mrg.enable_sqrt_pipeline(sqrt_mrg)
         step = chunked.make_chunked_image_step(
             engine.params, iters or cfg.estimator.num_iterations,
@@ -108,6 +110,7 @@ def main():
         jax.block_until_ready(out[0])
         ms = 1e3 * (time.perf_counter() - t0) / (REP_CHUNKS * CHUNK)
         lm_mod.GREEDY_GN = False
+        lm_mod.BATCH_CANDIDATES = False
         mrg.enable_sqrt_pipeline(True)
         print(f"{name:40s} {ms:7.3f} ms/frame  ({1e3/ms:6.1f} fps)",
               flush=True)
@@ -115,6 +118,13 @@ def main():
 
     base = cfg.tracker
     t_full = time_arm(f"full (iters={cfg.estimator.num_iterations})")
+    time_arm("batched LM candidates (batchcand)", batchcand=True)
+    time_arm("greedy GN candidate (timing only)", greedy=True)
+    time_arm("extra-fast pkg (ransac=16 anchiters=4)",
+             tcfg=dataclasses.replace(base, ransac_iters=16, anchor_iters=4))
+    time_arm("extra-fast + batchcand",
+             tcfg=dataclasses.replace(base, ransac_iters=16, anchor_iters=4),
+             batchcand=True)
     time_arm("fb_check off",
              tcfg=dataclasses.replace(base, fb_check=False))
     time_arm("anchor_refine off",

@@ -78,7 +78,12 @@ ANCHOR_ITERS = int(next((a.split("=")[1] for a in sys.argv
 MAX_POINTS = int(next((a.split("=")[1] for a in sys.argv
                        if a.startswith("--maxpts=")),
                       TrackerConfig.max_points))
-if "--batchcand" in sys.argv:
+# Accept both the bare form (--batchcand) and the value form used by the
+# sibling flags / dev_multiseed arm tokens (--batchcand=0/1).
+_BATCHCAND = next((a.split("=")[1] for a in sys.argv
+                   if a.startswith("--batchcand=")),
+                  "1" if "--batchcand" in sys.argv else "0")
+if _BATCHCAND not in ("0", "false", "off"):
     from mobile_slam_tpu.solver import lm as _lm2
     _lm2.BATCH_CANDIDATES = True
 
@@ -211,7 +216,15 @@ def run_image_path(cfg, cam, data):
               for fi in range(n_img)]
     print(f"[bench] rendered in {time.perf_counter()-t_r:.0f}s",
           file=sys.stderr)
+    return _image_path_core(cfg, data, frames, fleet=True)
 
+
+def _image_path_core(cfg, data, frames, fleet=False):
+    """Run the full image path over pre-rendered frames: stream until init,
+    then chunked serving. Shared by the standard image-path phase and the
+    adversarial degradation-curve phase (which renders through the
+    independent OpenCV oracle, eval/adversarial.py)."""
+    n_img = len(frames)
     engine = VIOEngine(cfg, jnp.float32)
     est_ts, est_p = [], []
     imu_i = 0
@@ -321,7 +334,7 @@ def run_image_path(cfg, cam, data):
     # scaling headline. Same warmed carry replicated B ways (identical
     # per-sequence work; batching economics don't depend on the data).
     fps_fleet = 0.0
-    if batches and carry is not None:
+    if fleet and batches and carry is not None:
         from mobile_slam_tpu.parallel import batch as pbatch
         B = FLEET_B
         bstep = pbatch.make_batched_image_step(
@@ -349,6 +362,66 @@ def run_image_path(cfg, cam, data):
     return fps_image, ate, len(est_p), n_img, fps_fleet
 
 
+def run_adversarial_bench():
+    """ATE degradation curve vs nuisance level (VERDICT r2 'de-circularize').
+
+    Every frame is rendered through the INDEPENDENT OpenCV geometry oracle
+    (eval/adversarial.py) — not through the camera code the tracker lifts
+    with — and each level adds real-sensor nuisances the estimator's noise
+    model does not contain (exposure flicker, vignetting, motion blur,
+    colored IMU noise, accel scale error, camera-IMU time offset, moving
+    objects). Level 0 is the clean-oracle arm: it isolates the circularity
+    question (same physics as the standard bench, independent renderer).
+    Prints one JSON line with ate per level.
+    """
+    from mobile_slam_tpu.eval import adversarial as adv
+
+    cfg = make_cfg()
+    levels = sorted(int(s) for s in next(
+        (a.split("=")[1] for a in sys.argv
+         if a.startswith("--adv-levels=")), "0,1,2,3").split(","))
+    duration = float(next((a.split("=")[1] for a in sys.argv
+                           if a.startswith("--adv-duration=")), 12.0))
+    seeds = [int(s) for s in next(
+        (a.split("=")[1] for a in sys.argv
+         if a.startswith("--adv-seeds=")), "11").split(",")]
+
+    results = []
+    for lvl in levels:
+        nuis = adv.LEVELS[lvl]
+        for seed in seeds:
+            scfg = sim.SimConfig(
+                duration=duration, cam_rate=20.0, imu_rate=200.0,
+                num_landmarks=900, max_features=150,
+                acc_noise=0.02, gyr_noise=0.002, pixel_noise=0.0,
+                acc_bias=(0.01, -0.005, 0.015),
+                gyr_bias=(0.001, -0.0005, 0.0008), seed=seed,
+            )
+            data = adv.make_adversarial_data(
+                scfg, cfg.camera, R_IC, np.asarray(cfg.camera.t_ic_vec), nuis)
+            movers = adv.make_movers(nuis)
+            t_r = time.perf_counter()
+            frames = [adv.render_frame_adversarial(
+                data, fi, cfg.camera, R_IC, np.asarray(cfg.camera.t_ic_vec),
+                nuis, movers) for fi in range(len(data.cam_ts))]
+            print(f"[bench-adv] level {lvl} seed {seed}: rendered "
+                  f"{len(frames)} oracle frames in "
+                  f"{time.perf_counter()-t_r:.0f}s", file=sys.stderr)
+            fps, ate, poses, n_img, _ = _image_path_core(cfg, data, frames)
+            results.append({
+                "level": lvl, "seed": seed,
+                "ate_sim3_m": None if ate != ate else round(ate, 4),
+                "poses": poses, "frames": n_img, "fps": round(fps, 1),
+            })
+            print(f"[bench-adv] level {lvl} seed {seed}: "
+                  f"ATE {ate:.4f} m, {poses}/{n_img} poses, {fps:.1f} fps",
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "adversarial ATE degradation curve (oracle renderer)",
+        "unit": "m", "duration_s": duration, "arms": results,
+    }))
+
+
 def _probe_devices(timeout_s: float = 600.0):
     """jax.devices() with a watchdog: the axon TPU tunnel can wedge (hangs
     indefinitely at backend init). A hung bench is worse than an error line
@@ -374,6 +447,9 @@ def main():
             "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
             "error": "TPU backend unavailable (device probe timed out)",
         }))
+        return
+    if "--adversarial" in sys.argv:
+        run_adversarial_bench()
         return
     cfg = make_cfg()
     cam = make_camera(cfg.camera, dtype=jnp.float64)
@@ -449,6 +525,11 @@ def main():
         }))
         return
     fps_stream = 1.0 / float(np.median(stream_times))
+    # Device-bound split (VERDICT r2 weak #6): wall-clock streaming fps over
+    # the tunnel swings ~2x with RTT on identical code; this re-dispatches
+    # the same per-frame step back-to-back with no host reads and reports
+    # pure device throughput, which is reproducible.
+    stream_device_ms = engine.measure_device_step(50)
 
     # --- Phase 2: chunked serving mode for the rest of the sequence. -----
     # All chunk inputs are staged up front and the chunks are dispatched
@@ -544,6 +625,9 @@ def main():
                            with_scale=True)
     ate_se3 = compute_ate(est_ts, est_p, data.cam_ts, data.gt_p,
                           with_scale=False)
+    dev_str = ("n/a" if stream_device_ms is None
+               else f"{stream_device_ms:.2f}ms ({1e3 / stream_device_ms:.1f} fps)")
+    print(f"[bench] stream_device_step={dev_str}", file=sys.stderr)
     print(f"[bench] fps_stream={fps_stream:.1f} fps_chunked={fps_chunked:.1f} "
           f"ATE sim3={ate_sim3.rmse:.3f}m se3={ate_se3.rmse:.3f}m "
           f"poses={len(est_p)}/{n_frames}", file=sys.stderr)
@@ -554,6 +638,10 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps_chunked / BASELINE_FPS, 3),
         "fps_streaming": round(fps_stream, 2),
+        "stream_device_ms": (None if stream_device_ms is None
+                             else round(stream_device_ms, 3)),
+        "fps_stream_device": (None if stream_device_ms is None
+                              else round(1e3 / stream_device_ms, 2)),
         "fps_image_path": round(fps_image, 2),
         "fps_image_fleet4": round(fps_image_fleet, 2),
         "fps_feature_fleet8": round(fps_feature_fleet, 2),

@@ -87,12 +87,16 @@ class TrackerConfig:
     lk_eps: float = 0.01
     f_threshold_edge_factor: float = 0.0
     # Fixed-capacity point slots for the jitted tracker (>= max_cnt).
-    max_points: int = 192
+    # 160 == 192 in the 8-seed 14 s + 2-seed 140 s image-path A/Bs
+    # (artifacts/multiseed_extrafast.json, multiseed_140_extrafast.json:
+    # ATE 0.021/0.035 m vs control 0.023/0.025 m, 0 gate trips, 2x faster).
+    max_points: int = 160
     # RANSAC hypothesis count for the vectorized F-matrix rejection.
     # 32 == 64 in the 8-seed image-path A/B (the estimator's own outlier
     # culling + FB check backstop the weaker single-shot confidence);
-    # artifacts/multiseed_it3_ransac32.json.
-    ransac_iters: int = 32
+    # artifacts/multiseed_it3_ransac32.json. 16 == 32 in the extra-fast
+    # 140 s confirm (multiseed_140_extrafast.json).
+    ransac_iters: int = 16
     # Shi-Tomasi detection grid (replaces the sequential min-dist mask paint).
     quality_level: float = 0.01
     # Forward-backward verification: track next->prev and kill tracks whose
@@ -120,7 +124,9 @@ class TrackerConfig:
     # frame-to-frame errors do not random-walk. Re-anchors automatically
     # when appearance changes (resid > anchor_resid or shift > max_shift).
     anchor_refine: bool = True
-    anchor_iters: int = 8
+    # 4 == 8 in the extra-fast multiseed A/Bs (anchor KLT converges in <4
+    # iterations at these patch sizes; multiseed_140_extrafast.json).
+    anchor_iters: int = 4
     anchor_max_shift: float = 2.0   # px search radius around the LK estimate
     anchor_resid: float = 14.0      # mean |zero-mean diff| re-anchor gate
     # LK/anchor kernel implementation: None = auto (Pallas on TPU, where
@@ -280,6 +286,11 @@ def load_config(path: str) -> VIOConfig:
         lk_iterations=int(raw.get("lk_iterations", 30)),
         lk_eps=float(raw.get("lk_eps", 0.01)),
         f_threshold_edge_factor=float(raw.get("f_threshold_edge_factor", 0.0)),
+        # Slot capacity follows max_cnt (rounded up to a multiple of 32 for
+        # TPU lane alignment) so configs with large budgets (kitti360
+        # max_cnt=500) pass validation without hand-setting max_points.
+        max_points=max(TrackerConfig.max_points,
+                       -(-int(raw.get("max_cnt", 150)) // 32) * 32),
     )
 
     estimator = EstimatorConfig(

@@ -298,6 +298,7 @@ class VIOEngine:
         self._pending = []  # drop any in-flight pipelined frames
         self._depth_ema: Optional[float] = None  # scale-runaway baseline
         self._vel_ema: float = 0.05
+        self._last_flat = None  # last staged hot-path input (device array)
         self.status = Status.INITIALIZING
         self.frame_index = 0
         self.host_frames: list[HostFrame] = []
@@ -484,8 +485,10 @@ class VIOEngine:
                     np.ravel(vel_p).astype(np.float32),
                     valid_p.astype(np.float32),
                 ])
+                flat_dev = jnp.asarray(flat, self.dtype)
+                self._last_flat = flat_dev
                 self.state, is_kf = self._book_flat(
-                    self.state, jnp.asarray(flat, self.dtype), self.params)
+                    self.state, flat_dev, self.params)
                 n_track = int(valid_p.sum())
             else:
                 self.state, is_kf = self._book_dev_feat(
@@ -694,6 +697,32 @@ class VIOEngine:
             self._reader.start()
         self._pipelined = on
         self._pipeline_depth = max(1, int(depth))
+
+    def measure_device_step(self, n: int = 50) -> Optional[float]:
+        """Device-bound per-frame step time in milliseconds.
+
+        Re-dispatches the TRACKING-mode step (bookkeeping + solve) on the
+        last staged hot-path input n times back-to-back with NO host reads —
+        consecutive programs pipeline on-chip via JAX async dispatch — then
+        blocks once. This splits honest device throughput from host<->device
+        link weather: the wall-clock streaming fps over a network tunnel
+        swings ~2x with RTT on identical code, this number does not. The
+        engine's own state is untouched (the throwaway state chain is
+        discarded). Returns None unless a flat-packed frame has been
+        processed (i.e. the engine has reached TRACKING on the feature path).
+        """
+        if self._last_flat is None or self.status != Status.TRACKING:
+            return None
+        st, kf = self._book_flat(self.state, self._last_flat, self.params)
+        st, packed, _ = self._solve(st, kf, self.params)
+        jax.block_until_ready(packed)  # warmup: drain queue, prime caches
+        st = self.state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st, kf = self._book_flat(st, self._last_flat, self.params)
+            st, packed, _ = self._solve(st, kf, self.params)
+        jax.block_until_ready(packed)
+        return 1e3 * (time.perf_counter() - t0) / n
 
     def flush(self) -> Optional[FrameResult]:
         """Drain all in-flight pipelined frames; returns the final frame's

@@ -55,6 +55,9 @@ class Camera:
 
 def make_camera(cam_cfg: cfgmod.CameraConfig, dtype=jnp.float32) -> Camera:
     """Build a Camera from config (CameraFactory::generateCamera parity)."""
+    # Canonicalize so a float64 request without jax_enable_x64 resolves to the
+    # float32 it would get anyway, without a per-call UserWarning from asarray.
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     mt = cam_cfg.model_type.upper()
     if mt == cfgmod.MODEL_PINHOLE:
         params = pinhole.make_params(

@@ -95,23 +95,25 @@ def main():
     def time_arm(name, tcfg=None, iters=None, greedy=False, sqrt_mrg=True,
                  batchcand=False):
         from mobile_slam_tpu.factors import marginalization as mrg
-        lm_mod.GREEDY_GN = greedy
-        lm_mod.BATCH_CANDIDATES = batchcand
-        mrg.enable_sqrt_pipeline(sqrt_mrg)
-        step = chunked.make_chunked_image_step(
-            engine.params, iters or cfg.estimator.num_iterations,
-            tcfg or cfg.tracker, engine.camera, cfg.camera.focal_length)
-        carry = jax.tree.map(jnp.copy, carry0)
-        carry, out = step(carry, batch)         # compile + warmup
-        jax.block_until_ready(out[0])
-        t0 = time.perf_counter()
-        for _ in range(REP_CHUNKS):
-            carry, out = step(carry, batch)
-        jax.block_until_ready(out[0])
-        ms = 1e3 * (time.perf_counter() - t0) / (REP_CHUNKS * CHUNK)
-        lm_mod.GREEDY_GN = False
-        lm_mod.BATCH_CANDIDATES = False
-        mrg.enable_sqrt_pipeline(True)
+        try:
+            lm_mod.GREEDY_GN = greedy
+            lm_mod.BATCH_CANDIDATES = batchcand
+            mrg.enable_sqrt_pipeline(sqrt_mrg)
+            step = chunked.make_chunked_image_step(
+                engine.params, iters or cfg.estimator.num_iterations,
+                tcfg or cfg.tracker, engine.camera, cfg.camera.focal_length)
+            carry = jax.tree.map(jnp.copy, carry0)
+            carry, out = step(carry, batch)         # compile + warmup
+            jax.block_until_ready(out[0])
+            t0 = time.perf_counter()
+            for _ in range(REP_CHUNKS):
+                carry, out = step(carry, batch)
+            jax.block_until_ready(out[0])
+            ms = 1e3 * (time.perf_counter() - t0) / (REP_CHUNKS * CHUNK)
+        finally:
+            lm_mod.GREEDY_GN = False
+            lm_mod.BATCH_CANDIDATES = False
+            mrg.enable_sqrt_pipeline(True)
         print(f"{name:40s} {ms:7.3f} ms/frame  ({1e3/ms:6.1f} fps)",
               flush=True)
         return ms

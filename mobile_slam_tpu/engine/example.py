@@ -37,6 +37,32 @@ def tiny_config(max_features: int = 64, max_imu: int = 8,
     )
 
 
+def production_config() -> VIOConfig:
+    """The PRODUCTION tum_vi/bench shapes (bench.py make_cfg): 384 feature
+    slots, 160 tracker points, 16 IMU samples/interval, 3 LM iterations —
+    so the multichip dryrun partitions the same program the chip runs, not
+    a toy (padding/layout choices differ with shape)."""
+    cam = CameraConfig(
+        model_type="KANNALA_BRANDT", width=512, height=512,
+        focal_length=190.97847715128717,
+        fx=190.97847715128717, fy=190.9733070521226,
+        cx=254.93170605935475, cy=256.8974428996504,
+        dist=(0.0034823894022493434, 0.0007150348452162257,
+              -0.0020532361418706202, 0.00020293673591811182),
+        r_ic=(0.0, 0.0, 1.0, -1.0, 0.0, 0.0, 0.0, -1.0, 0.0),
+        t_ic=(0.045, 0.073, -0.044),
+    )
+    return VIOConfig(
+        camera=cam,
+        tracker=TrackerConfig(max_cnt=150, min_dist=20, max_points=160,
+                              fisheye=True),
+        estimator=EstimatorConfig(
+            max_features=384, max_imu_per_interval=16, num_iterations=3,
+            acc_n=0.04, gyr_n=0.004, acc_w=4e-4, gyr_w=2e-5,
+        ),
+    )
+
+
 def make_example_state(cfg: VIOConfig, params: est.StaticParams,
                        dtype=jnp.float32, seed: int = 0):
     """A NON_LINEAR-phase estimator state + one FrameInput, all consistent

@@ -95,3 +95,59 @@ class TestWorkerPolicyConstants:
         with open(os.path.join(REPO, "web", "index.html")) as f:
             html = f.read()
         assert "js/vio-wrapper.js" in html
+
+
+class TestCameraCapturePaths:
+    """camera.js parity surfaces (reference web/js/camera.js:54-55,210-256,
+    345-529). No JS engine ships here (see module docstring) — these are
+    source-contract checks: the WebGL grayscale path, its CPU fallback, and
+    the portrait pixel-rotation mode must exist and stay wired the way the
+    reference's are.
+    """
+
+    def test_webgl_path_is_query_gated(self):
+        js = _read("camera.js")
+        # Opt-in exactly like the reference: ?grayscale=webgl.
+        assert re.search(r"get\('grayscale'\)\s*===\s*'webgl'", js)
+
+    def test_webgl_luma_shader_matches_cpu_weights(self):
+        js = _read("camera.js")
+        # Shader weights are the CPU integer weights (77,150,29)/256 so the
+        # two paths agree to rounding.
+        assert "0.30078125" in js and "0.5859375" in js and "0.11328125" in js
+        assert 77 / 256 == 0.30078125
+        assert 150 / 256 == 0.5859375
+        assert 29 / 256 == 0.11328125
+        # CPU path still present as the fallback.
+        assert re.search(r"77 \* rgba\[j\]", js)
+
+    def test_webgl_falls_back_on_context_loss(self):
+        js = _read("camera.js")
+        assert "webglcontextlost" in js
+        assert "_glContextLost" in js
+        # captureGray must consult the loss flag before using GL.
+        assert re.search(r"_useWebGL && this\._gl && !this\._glContextLost",
+                         js)
+
+    def test_portrait_rotation_is_pixel_level(self):
+        js = _read("camera.js")
+        # Portrait mode rotates the PIXELS (canvas transform), not CSS —
+        # reference rotate cw mode (camera.js:210-256).
+        assert re.search(r"rotate\(Math\.PI / 2\)", js)
+        assert "rotateMode" in js
+        # Output dims swap when rotated.
+        assert re.search(r"rotated:\s*this\.rotateMode !== 'none'", js)
+
+    def test_replay_manifest_uses_real_tumvi_profile(self):
+        """The in-browser replay harness configures the gateway with the
+        real TUM-VI calibration profile (reference test-tumvi-app.js:16-55
+        replays real calibration constants)."""
+        import importlib
+        spec = importlib.util.spec_from_file_location(
+            "export_replay_dataset",
+            os.path.join(REPO, "scripts", "export_replay_dataset.py"))
+        src = open(spec.origin).read()
+        assert '"profile": "tum_vi"' in src
+        prof = vio_gateway._profiles()["tum_vi"]
+        assert prof["camera"]["fx"] == 190.97847715128717
+        assert prof["camera"]["model_type"] == "KANNALA_BRANDT"

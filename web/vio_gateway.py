@@ -85,7 +85,7 @@ def _profiles():
                         r_ic=(0.0, 0.0, 1.0, -1.0, 0.0, 0.0, 0.0, -1.0, 0.0),
                         t_ic=(0.045, 0.073, -0.044)),
             tracker=dict(max_cnt=150, min_dist=20, fisheye=True,
-                         max_points=192),
+                         max_points=160),
             estimator=dict(num_iterations=3, acc_n=0.04, gyr_n=0.004,
                            acc_w=4e-4, gyr_w=2e-5, max_features=384,
                            max_imu_per_interval=16),

@@ -220,6 +220,302 @@ def calibrate_camera_odometry(
             np.asarray(odo_t), rms_before, rms_after)
 
 
+# ---------------------------------------------------------------------------
+# Intrinsic bootstrap from checkerboard views (estimateIntrinsics parity)
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_pinhole(board_size, object_points, image_points, width,
+                       height):
+    """Zhang-2000 closed-form focal bootstrap (PinholeCamera.cc:257-336):
+    principal point pinned at the image center, per-view board homography,
+    two orthogonality constraints per view on the rotation columns, linear
+    least squares in (1/fx², 1/fy²)."""
+    import cv2
+
+    cx, cy = width / 2.0, height / 2.0
+    rows_a, rows_b = [], []
+    for obj, img in zip(object_points, image_points):
+        M = np.asarray(obj, np.float64)[:, :2]
+        H, _ = cv2.findHomography(M.astype(np.float32),
+                                  np.asarray(img, np.float32))
+        if H is None:
+            continue
+        H = H.astype(np.float64)
+        # Remove the principal point so H's left 3x2 block is K_f·[r1 r2]
+        # with K_f = diag(fx, fy, 1).
+        H[0] -= H[2] * cx
+        H[1] -= H[2] * cy
+        h, v = H[:, 0], H[:, 1]
+        d1, d2 = (h + v) * 0.5, (h - v) * 0.5
+        hn, vn = h / np.linalg.norm(h), v / np.linalg.norm(v)
+        d1n, d2n = d1 / np.linalg.norm(d1), d2 / np.linalg.norm(d2)
+        # r1 ⟂ r2 and |r1| = |r2| expressed on the normalized columns:
+        # sum_j w_j · (col_a)_j (col_b)_j = 0 with w = (1/fx², 1/fy², 1).
+        rows_a.append([hn[0] * vn[0], hn[1] * vn[1], hn[2] * vn[2]])
+        rows_b.append([d1n[0] * d2n[0], d1n[1] * d2n[1], d1n[2] * d2n[2]])
+    A = np.asarray(rows_a + rows_b)
+    sol, *_ = np.linalg.lstsq(A[:, :2], -A[:, 2], rcond=None)
+    fx = np.sqrt(np.abs(1.0 / sol[0]))
+    fy = np.sqrt(np.abs(1.0 / sol[1]))
+    return pinhole.make_params(fx, fy, cx, cy, dtype=jnp.float64)
+
+
+def _board_pnp(params, model_type, obj, img):
+    """Extrinsics for one board view: lift pixels through the CANDIDATE
+    model to the z=1 plane, then planar PnP with identity K
+    (Camera::estimateExtrinsics parity, Camera.cc)."""
+    import cv2
+
+    lift = {"KANNALA_BRANDT": equidistant.lift,
+            "MEI": mei.lift,
+            "PINHOLE": pinhole.lift}[model_type]
+    rays = np.asarray(lift(jnp.asarray(params), jnp.asarray(img, np.float64)))
+    zs = rays[:, 2:3]
+    zs = np.where(np.abs(zs) < 1e-9, 1e-9, zs)
+    norm = (rays / zs)[:, :2]
+    ok, rvec, tvec = cv2.solvePnP(
+        np.ascontiguousarray(np.asarray(obj, np.float64).reshape(-1, 1, 3)),
+        np.ascontiguousarray(norm).reshape(-1, 1, 2), np.eye(3), None)
+    if not ok:
+        return None
+    R, _ = cv2.Rodrigues(rvec)
+    return R, tvec.reshape(3)
+
+
+def _reproj_err(params, model_type, object_points, image_points):
+    project = _PROJECT[model_type]
+    total, count = 0.0, 0
+    for obj, img in zip(object_points, image_points):
+        ext = _board_pnp(params, model_type, obj, img)
+        if ext is None:
+            return np.inf
+        R, t = ext
+        pc = np.asarray(obj, np.float64) @ R.T + t
+        uv = np.asarray(project(jnp.asarray(params), jnp.asarray(pc)))
+        if not np.all(np.isfinite(uv)):
+            return np.inf
+        total += float(np.sum((uv - np.asarray(img)) ** 2))
+        count += len(obj)
+    return np.sqrt(total / max(count, 1))
+
+
+def _bootstrap_kb(board_size, object_points, image_points, width, height):
+    """Hughes-2010 vanishing-point focal bootstrap for the equidistant
+    fisheye (EquidistantCamera.cc:234-318): each board row's corners lie on
+    a circle in the fisheye image; each pair of row circles intersects in
+    the two vanishing points of that direction, and f = |v1 - v2| / π.
+    Every candidate f is scored by board reprojection (PnP per view);
+    the best one wins."""
+    from mobile_slam_tpu.utils import gpl
+
+    u0, v0 = width / 2.0, height / 2.0
+    cols, rows = board_size
+    cands = []
+    for img in image_points:
+        img = np.asarray(img, np.float64).reshape(rows, cols, 2)
+        fits = [gpl.fit_circle(img[r]) for r in range(rows)]
+        for j in range(rows):
+            for k in range(j + 1, rows):
+                ipts = gpl.intersect_circles(*fits[j], *fits[k])
+                if len(ipts) < 2:
+                    continue
+                f = float(np.linalg.norm(ipts[0] - ipts[1])) / np.pi
+                if np.isfinite(f) and f > 0:
+                    cands.append(f)
+    best_f, best_err = _score_focal_candidates(
+        cands, lambda f: equidistant.make_params(f, f, u0, v0,
+                                                 dtype=jnp.float64),
+        "KANNALA_BRANDT", object_points, image_points)
+    if best_f <= 0.0:
+        raise ValueError("Kannala-Brandt bootstrap failed with given data")
+    return equidistant.make_params(best_f, best_f, u0, v0, dtype=jnp.float64)
+
+
+def _score_focal_candidates(cands, make, model_type, object_points,
+                            image_points, max_eval: int = 12,
+                            score_views: int = 4):
+    """Dedupe focal candidates to a 1.5%-relative grid, cap the number of
+    full reprojection scorings (each costs PnP per view), and score on a
+    view subset — the candidate sets the reference sweeps are dominated by
+    near-duplicates from neighboring row pairs."""
+    if not cands:
+        return 0.0, np.inf
+    uniq: list[float] = []
+    for f in sorted(cands):
+        if not uniq or f > uniq[-1] * 1.015:
+            uniq.append(f)
+    if len(uniq) > max_eval:
+        idx = np.linspace(0, len(uniq) - 1, max_eval).astype(int)
+        uniq = [uniq[i] for i in idx]
+    objs = object_points[:score_views]
+    imgs = image_points[:score_views]
+    best_f, best_err = 0.0, np.inf
+    for f in uniq:
+        err = _reproj_err(make(f), model_type, objs, imgs)
+        if err < best_err:
+            best_err, best_f = err, f
+    return best_f, best_err
+
+
+def _bootstrap_mei(board_size, object_points, image_points, width, height):
+    """Mei focal bootstrap at xi=1 (CataCamera.cc:282-370): under the
+    unified-sphere model with xi=1, the image of any space line lies on a
+    circle satisfying [u, v, 0.5, -0.5(u²+v²)]·C = 0 with
+    gamma = sqrt(C3/C4); each non-radial board row contributes a candidate,
+    scored by board reprojection."""
+    u0, v0 = width / 2.0, height / 2.0
+    cols, rows = board_size
+    cands = []
+    for img in image_points:
+        img = np.asarray(img, np.float64).reshape(rows, cols, 2)
+        for r in range(rows):
+            u = img[r, :, 0] - u0
+            v = img[r, :, 1] - v0
+            P = np.stack([u, v, np.full_like(u, 0.5),
+                          -0.5 * (u * u + v * v)], axis=-1)
+            _, _, vt = np.linalg.svd(P)
+            C = vt[-1]
+            t = C[0] ** 2 + C[1] ** 2 + C[2] * C[3]
+            if t < 0.0:
+                continue
+            d = np.sqrt(1.0 / t)
+            nx, ny = C[0] * d, C[1] * d
+            if np.hypot(nx, ny) > 0.95:  # radial line: no focal information
+                continue
+            if C[2] / C[3] <= 0:
+                continue
+            cands.append(float(np.sqrt(C[2] / C[3])))
+    best_g, best_err = _score_focal_candidates(
+        cands, lambda g: mei.make_params(g, g, u0, v0, xi=1.0,
+                                         dtype=jnp.float64),
+        "MEI", object_points, image_points)
+    if best_g <= 0.0:
+        raise ValueError("Mei bootstrap failed with given data")
+    return mei.make_params(best_g, best_g, u0, v0, xi=1.0, dtype=jnp.float64)
+
+
+_BOOTSTRAP = {
+    "PINHOLE": _bootstrap_pinhole,
+    "KANNALA_BRANDT": _bootstrap_kb,
+    "MEI": _bootstrap_mei,
+}
+
+
+def calibrate_from_board(model_type: str, board_size, object_points,
+                         image_points, width: int, height: int,
+                         refine: bool = True, refine_iters: int = 30):
+    """From-scratch intrinsic calibration from checkerboard views — the
+    reference's estimateIntrinsics bootstraps (PinholeCamera.cc:257,
+    EquidistantCamera.cc:234, CataCamera.cc:282) followed by the autodiff
+    GN refinement over all views jointly.
+
+    board_size: (cols, rows) inner-corner grid.
+    object_points: list of (cols*rows, 3) board-frame corners (z = 0).
+    image_points: list of (cols*rows, 2) detected pixels, row-major.
+    Returns (params, rms_px) with params in the model's flat layout.
+    """
+    mt = model_type.upper()
+    if mt not in _BOOTSTRAP:
+        raise ValueError(f"no bootstrap for model {mt}")
+    params = np.asarray(_BOOTSTRAP[mt](board_size, object_points,
+                                       image_points, width, height))
+    rms = _reproj_err(jnp.asarray(params), mt, object_points, image_points)
+    if not refine:
+        return params, rms
+    # Joint calibration bundle: intrinsics + per-view board poses refined
+    # TOGETHER (the reference hands this stage to Ceres with the factory
+    # costs; alternating PnP/intrinsic passes stalls in a focal-distortion
+    # local minimum under strong tilt).
+    poses0 = []
+    objs, uvs = [], []
+    for obj, img in zip(object_points, image_points):
+        ext = _board_pnp(jnp.asarray(params), mt, obj, img)
+        if ext is None:
+            continue
+        poses0.append(ext)
+        objs.append(np.asarray(obj, np.float64))
+        uvs.append(np.asarray(img, np.float64))
+    params, rms = _refine_board_joint(mt, params, objs, uvs, poses0,
+                                      iters=refine_iters)
+    return params, rms
+
+
+def _refine_board_joint(model_type, params0, objs, uvs, poses0,
+                        iters: int = 30):
+    """Joint GN over [intrinsic vector, per-view (q, t)] — the calibration
+    bundle the reference's Ceres problem solves. Rotation updates use
+    quaternion box-plus. Returns (params, rms_px)."""
+    project = _PROJECT[model_type]
+    V = len(objs)
+    n_i = int(np.asarray(params0).shape[0])
+    params = jnp.asarray(params0, jnp.float64)
+    q0 = jnp.asarray(np.stack([_rot_to_quat(R) for R, _ in poses0]),
+                     jnp.float64)
+    t0 = jnp.asarray(np.stack([t for _, t in poses0]), jnp.float64)
+    wp = jnp.asarray(np.stack(objs), jnp.float64)      # (V, N, 3)
+    uv = jnp.asarray(np.stack(uvs), jnp.float64)       # (V, N, 2)
+    ndx = n_i + 6 * V
+
+    def unpack(dx, params_l, q_l, t_l):
+        p1 = params_l + dx[:n_i]
+        d = dx[n_i:].reshape(V, 6)
+        q1 = rot.quat_boxplus(q_l, d[:, :3])
+        t1 = t_l + d[:, 3:]
+        return p1, q1, t1
+
+    def residual(dx, params_l, q_l, t_l):
+        p1, q1, t1 = unpack(dx, params_l, q_l, t_l)
+        Rm = jax.vmap(rot.quat_to_rot)(q1)              # (V, 3, 3)
+        pc = jnp.einsum("vij,vnj->vni", Rm, wp) + t1[:, None, :]
+        return (project(p1, pc.reshape(-1, 3)) - uv.reshape(-1, 2)).reshape(-1)
+
+    q, t = q0, t0
+    zero = jnp.zeros(ndx, jnp.float64)
+    jac_fn = jax.jacfwd(residual, argnums=0)
+    r = residual(zero, params, q, t)
+    cost = float(jnp.sum(r ** 2))
+    mu = 1e-4
+    for _ in range(iters):
+        r = residual(zero, params, q, t)
+        J = jac_fn(zero, params, q, t)
+        H = J.T @ J
+        g = J.T @ r
+        Hd = H + mu * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-12))
+        try:
+            delta = -jnp.linalg.solve(Hd + 1e-12 * jnp.eye(ndx), g)
+        except Exception:
+            break
+        p1, q1, t1 = unpack(delta, params, q, t)
+        new_cost = float(jnp.sum(residual(zero, p1, q1, t1) ** 2))
+        if np.isfinite(new_cost) and new_cost < cost:
+            params, q, t, cost = p1, q1, t1, new_cost
+            mu = max(mu / 3, 1e-12)
+        else:
+            mu = min(mu * 10, 1e6)
+    rms = float(np.sqrt(cost / r.shape[0]))
+    return np.asarray(params), rms
+
+
+def _rot_to_quat(R):
+    """Rotation matrix -> wxyz quaternion (host-side, numpy)."""
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diagonal(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    qv = np.zeros(4)
+    qv[0] = (R[k, j] - R[j, k]) / s
+    qv[1 + i] = 0.25 * s
+    qv[1 + j] = (R[j, i] + R[i, j]) / s
+    qv[1 + k] = (R[k, i] + R[i, k]) / s
+    return qv
+
+
 def calibrate_from_observations(model_type: str, params0, world_pts, uv_obs,
                                 poses, iters: int = 20):
     """Multi-view intrinsic calibration with known camera poses:

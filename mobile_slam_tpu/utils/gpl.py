@@ -221,3 +221,210 @@ def utm_to_ll(northing: float, easting: float,
            + 24 * T1 * T1) * D ** 5 / 120
     ) / math.cos(phi1)
     return r2d(lat), r2d(lon)
+
+
+# ---------------------------------------------------------------------------
+# EigenUtils analogs (include/common/gpl/EigenUtils.h) — host-side numpy.
+# The quaternion/rotation hot-path versions live in utils/rotations.py
+# (jax); these are the remaining generic geometry helpers the reference's
+# calibration tooling uses.
+# ---------------------------------------------------------------------------
+
+
+def skew(v) -> np.ndarray:
+    """3-vector -> 3x3 skew-symmetric matrix (EigenUtils.h:14)."""
+    x, y, z = np.asarray(v, np.float64)
+    return np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+
+
+def sqrtm_psd(A) -> np.ndarray:
+    """Symmetric PSD matrix square root via eigendecomposition
+    (EigenUtils.h:19 operatorSqrt parity)."""
+    A = np.asarray(A, np.float64)
+    w, V = np.linalg.eigh(0.5 * (A + A.T))
+    return (V * np.sqrt(np.clip(w, 0.0, None))[None, :]) @ V.T
+
+
+def angle_axis_to_rotation(rvec) -> np.ndarray:
+    """Rodrigues: rotation vector -> matrix (EigenUtils.h:26)."""
+    rvec = np.asarray(rvec, np.float64)
+    theta = np.linalg.norm(rvec)
+    if theta < 1e-12:
+        return np.eye(3) + skew(rvec)
+    k = rvec / theta
+    K = skew(k)
+    return np.eye(3) + math.sin(theta) * K + (1 - math.cos(theta)) * (K @ K)
+
+
+def rotation_to_angle_axis(R) -> np.ndarray:
+    """Matrix -> rotation vector (EigenUtils.h:59)."""
+    R = np.asarray(R, np.float64)
+    q = _rotation_to_quat(R)
+    return quat_to_angle_axis(q)
+
+
+def angle_axis_to_quat(rvec) -> np.ndarray:
+    """Rotation vector -> wxyz quaternion (EigenUtils.h:42)."""
+    rvec = np.asarray(rvec, np.float64)
+    theta = np.linalg.norm(rvec)
+    if theta < 1e-12:
+        return np.concatenate([[1.0], 0.5 * rvec])
+    axis = rvec / theta
+    return np.concatenate([[math.cos(theta / 2)],
+                           math.sin(theta / 2) * axis])
+
+
+def quat_to_angle_axis(q) -> np.ndarray:
+    """wxyz quaternion -> rotation vector (EigenUtils.h:66)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    sin_half = np.linalg.norm(q[1:])
+    if sin_half < 1e-12:
+        return 2.0 * q[1:]
+    theta = 2.0 * math.atan2(sin_half, q[0])
+    return theta * q[1:] / sin_half
+
+
+def _rotation_to_quat(R) -> np.ndarray:
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = math.sqrt(tr + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diagonal(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = math.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def rpy_to_mat(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """Roll-pitch-yaw -> rotation matrix, Rz(yaw)Ry(pitch)Rx(roll)
+    (EigenUtils.h:140 RPY2mat parity)."""
+    cr, sr = math.cos(roll), math.sin(roll)
+    cp, sp = math.cos(pitch), math.sin(pitch)
+    cy, sy = math.cos(yaw), math.sin(yaw)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def mat_to_rpy(R) -> tuple[float, float, float]:
+    """Rotation matrix -> (roll, pitch, yaw) (EigenUtils.h:163)."""
+    R = np.asarray(R, np.float64)
+    roll = math.atan2(R[2, 1], R[2, 2])
+    pitch = math.atan2(-R[2, 0], math.hypot(R[2, 1], R[2, 2]))
+    yaw = math.atan2(R[1, 0], R[0, 0])
+    return roll, pitch, yaw
+
+
+def homogeneous_transform(R, t) -> np.ndarray:
+    """(R, t) -> 4x4 (EigenUtils.h:170)."""
+    H = np.eye(4)
+    H[:3, :3] = np.asarray(R, np.float64)
+    H[:3, 3] = np.asarray(t, np.float64)
+    return H
+
+
+def pose_with_spherical_translation(q, p, scale: float = 1.0) -> np.ndarray:
+    """4x4 pose with translation on the unit sphere parameterized by
+    (theta, phi) — the hand-eye calibration's scale-free translation
+    parameterization (EigenUtils.h:200)."""
+    theta, phi = float(p[0]), float(p[1])
+    R = angle_axis_to_rotation(quat_to_angle_axis(q))
+    t = scale * np.array([math.sin(theta) * math.cos(phi),
+                          math.sin(theta) * math.sin(phi),
+                          math.cos(theta)])
+    return homogeneous_transform(R, t)
+
+
+def angle_axis_translation_to_screw(rvec, tvec):
+    """Screw decomposition (theta, d, l, m) of a rigid motion
+    (EigenUtils.h:116: rotation angle, translation along the axis, axis
+    direction, axis moment)."""
+    rvec = np.asarray(rvec, np.float64)
+    tvec = np.asarray(tvec, np.float64)
+    theta = float(np.linalg.norm(rvec))
+    if theta == 0.0:
+        return 0.0, 0.0, np.zeros(3), np.zeros(3)
+    axis = rvec / theta
+    d = float(tvec @ axis)
+    c = 0.5 * (tvec - d * axis
+               + np.cross(axis / math.tan(theta / 2.0), tvec))
+    m = np.cross(c, axis)
+    return theta, d, axis, m
+
+
+def sampson_error(E, p1, p2) -> float:
+    """First-order geometric (Sampson) error of an essential/fundamental
+    matrix on a homogeneous point pair (EigenUtils.h:222)."""
+    E = np.asarray(E, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    Ex1 = E @ p1
+    Etx2 = E.T @ p2
+    num = float(p2 @ Ex1) ** 2
+    den = Ex1[0] ** 2 + Ex1[1] ** 2 + Etx2[0] ** 2 + Etx2[1] ** 2
+    return num / den
+
+
+def sampson_error_rt(R, t, p1, p2) -> float:
+    """Sampson error of a rotation/translation pair: E = [t]x R
+    (EigenUtils.h:236)."""
+    return sampson_error(skew(t) @ np.asarray(R, np.float64), p1, p2)
+
+
+def sampson_error_h(H, p1, p2) -> float:
+    """Sampson error of a 4x4 rigid transform (EigenUtils.h:254)."""
+    H = np.asarray(H, np.float64)
+    return sampson_error_rt(H[:3, :3], H[:3, 3], p1, p2)
+
+
+def transform_point(H, P) -> np.ndarray:
+    """Apply a 4x4 rigid transform to a 3D point (EigenUtils.h:262)."""
+    H = np.asarray(H, np.float64)
+    return H[:3, :3] @ np.asarray(P, np.float64) + H[:3, 3]
+
+
+def estimate_3d_rigid_transform(points1, points2) -> np.ndarray:
+    """Kabsch: least-squares R,t with points2 ≈ R points1 + t
+    (EigenUtils.h:269)."""
+    X = np.asarray(points1, np.float64)
+    Y = np.asarray(points2, np.float64)
+    c1, c2 = X.mean(axis=0), Y.mean(axis=0)
+    H = (X - c1).T @ (Y - c2)
+    U, _, Vt = np.linalg.svd(H)
+    V = Vt.T
+    if np.linalg.det(U) * np.linalg.det(V) < 0:
+        V[:, 2] *= -1
+    R = V @ U.T
+    return homogeneous_transform(R, c2 - R @ c1)
+
+
+def estimate_3d_similarity_transform(points1, points2) -> np.ndarray:
+    """Umeyama with scale: points2 ≈ s R points1 + t (EigenUtils.h:310).
+    The trajectory evaluator's umeyama_alignment is the batched production
+    version; this is the 4x4 convenience form the reference tooling uses."""
+    X = np.asarray(points1, np.float64)
+    Y = np.asarray(points2, np.float64)
+    c1, c2 = X.mean(axis=0), Y.mean(axis=0)
+    Xc, Yc = X - c1, Y - c2
+    H = Xc.T @ Yc
+    U, S, Vt = np.linalg.svd(H)
+    V = Vt.T
+    d = np.ones(3)
+    if np.linalg.det(U) * np.linalg.det(V) < 0:
+        d[2] = -1
+    R = V @ np.diag(d) @ U.T
+    var1 = (Xc ** 2).sum() / len(X)
+    s = float((S * d).sum() / (len(X) * var1))
+    H4 = homogeneous_transform(s * R, c2 - s * R @ c1)
+    return H4

@@ -98,3 +98,100 @@ def test_utm_roundtrip_southern_hemisphere():
     lat2, lon2 = gpl.utm_to_ll(n, e, zone)
     assert lat2 == pytest.approx(lat, abs=1e-6)
     assert lon2 == pytest.approx(lon, abs=1e-6)
+
+
+class TestEigenUtilsAnalogs:
+    """EigenUtils.h analogs vs scipy/cv2 oracles."""
+
+    def test_skew_and_rodrigues_match_cv2(self):
+        import cv2
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            rvec = rng.normal(size=3)
+            R, _ = cv2.Rodrigues(rvec)
+            np.testing.assert_allclose(gpl.angle_axis_to_rotation(rvec), R,
+                                       atol=1e-12)
+            back = gpl.rotation_to_angle_axis(R)
+            np.testing.assert_allclose(back, rvec, atol=1e-9)
+            v = rng.normal(size=3)
+            np.testing.assert_allclose(gpl.skew(rvec) @ v,
+                                       np.cross(rvec, v), atol=1e-12)
+
+    def test_angle_axis_quat_round_trip(self):
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            rvec = rng.normal(size=3)
+            q = gpl.angle_axis_to_quat(rvec)           # wxyz
+            q_s = Rotation.from_rotvec(rvec).as_quat()  # xyzw
+            ref = np.concatenate([[q_s[3]], q_s[:3]])
+            if ref[0] < 0:
+                ref = -ref
+            np.testing.assert_allclose(q, ref, atol=1e-12)
+            np.testing.assert_allclose(gpl.quat_to_angle_axis(q), rvec,
+                                       atol=1e-12)
+
+    def test_sqrtm_psd(self):
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(6, 6))
+        A = A @ A.T + 1e-3 * np.eye(6)
+        S = gpl.sqrtm_psd(A)
+        np.testing.assert_allclose(S @ S, A, atol=1e-10)
+        np.testing.assert_allclose(S, S.T, atol=1e-12)
+
+    def test_rpy_round_trip(self):
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            rpy = rng.uniform(-1.2, 1.2, 3)
+            R = gpl.rpy_to_mat(*rpy)
+            np.testing.assert_allclose(gpl.mat_to_rpy(R), rpy, atol=1e-12)
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+    def test_sampson_error_zero_on_exact_correspondence(self):
+        rng = np.random.default_rng(4)
+        R = gpl.angle_axis_to_rotation(rng.normal(size=3) * 0.3)
+        t = rng.normal(size=3)
+        P = rng.normal(size=3) + np.array([0.0, 0.0, 5.0])
+        p1 = P / P[2]
+        P2 = R @ P + t
+        p2 = P2 / P2[2]
+        assert gpl.sampson_error_rt(R, t, p1, p2) < 1e-20
+        # Perturbed correspondence has positive error.
+        p2n = p2 + np.array([1e-3, -2e-3, 0.0])
+        assert gpl.sampson_error_rt(R, t, p1, p2n) > 1e-10
+        H = gpl.homogeneous_transform(R, t)
+        assert gpl.sampson_error_h(H, p1, p2) < 1e-20
+
+    def test_rigid_and_similarity_transform_recovery(self):
+        rng = np.random.default_rng(5)
+        pts = rng.normal(size=(30, 3))
+        R = gpl.rpy_to_mat(0.2, -0.4, 1.1)
+        t = np.array([0.5, -1.0, 2.0])
+        H = gpl.estimate_3d_rigid_transform(pts, pts @ R.T + t)
+        np.testing.assert_allclose(H, gpl.homogeneous_transform(R, t),
+                                   atol=1e-10)
+        s = 2.7
+        Hs = gpl.estimate_3d_similarity_transform(pts, s * pts @ R.T + t)
+        np.testing.assert_allclose(Hs[:3, :3], s * R, atol=1e-9)
+        np.testing.assert_allclose(Hs[:3, 3], t, atol=1e-9)
+        p = gpl.transform_point(H, pts[0])
+        np.testing.assert_allclose(p, R @ pts[0] + t, atol=1e-12)
+
+    def test_screw_decomposition_reconstructs_motion(self):
+        rng = np.random.default_rng(6)
+        rvec = rng.normal(size=3)
+        tvec = rng.normal(size=3)
+        theta, d, axis, m = gpl.angle_axis_translation_to_screw(rvec, tvec)
+        assert abs(theta - np.linalg.norm(rvec)) < 1e-12
+        np.testing.assert_allclose(axis, rvec / np.linalg.norm(rvec),
+                                   atol=1e-12)
+        assert abs(d - tvec @ axis) < 1e-12
+        # Axis moment is perpendicular to the axis.
+        assert abs(m @ axis) < 1e-9
+
+    def test_pose_with_spherical_translation(self):
+        q = gpl.angle_axis_to_quat(np.array([0.1, 0.2, -0.3]))
+        H = gpl.pose_with_spherical_translation(q, [0.7, 1.1], scale=2.0)
+        assert abs(np.linalg.norm(H[:3, 3]) - 2.0) < 1e-12
+        np.testing.assert_allclose(H[:3, :3] @ H[:3, :3].T, np.eye(3),
+                                   atol=1e-12)

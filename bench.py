@@ -58,9 +58,11 @@ BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
 # (8 seeds x 14 s AND 2 seeds x 140 s, where the 3-iter fast package is
 # slightly better: 0.024 vs 0.030 m — artifacts/multiseed_it3_ransac32.json,
 # multiseed_140_fastpkg.json). The earlier "8 needed" sweep was a
-# dense-prior artifact.
+# dense-prior artifact. Round 3: 2 == 3 as well (8x14s multiseed median
+# 0.010 vs 0.011 m + 2x140s confirm 0.025/0.029 m, 0 gate trips —
+# artifacts/multiseed_iters2.json, multiseed_140_iters2.json).
 ITERS = int(next((a.split("=")[1] for a in sys.argv
-                  if a.startswith("--iters=")), 3))
+                  if a.startswith("--iters=")), 2))
 _FTOL = next((a.split("=")[1] for a in sys.argv
               if a.startswith("--ftol=")), None)
 if _FTOL is not None:

@@ -28,16 +28,23 @@ def clahe(
     x = jnp.clip(img, 0.0, 255.0)
     xi = jnp.round(x).astype(jnp.int32)
 
-    # One-hot pixel encodings in int8: exact 0/1 selectors at half the HBM
-    # traffic of the earlier bf16 formulation — the (pixels, 256) one-hot
-    # intermediates are the dominant cost of this op (134 MB each at bf16
-    # for 512x512), and every contraction below accumulates in int32, so
-    # the result stays bit-exact. (Element gathers, the obvious
-    # formulation, serialize on TPU; see ops/lk_pallas.py.)
-    tiles_px = xi.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
-    tiles_px = tiles_px.reshape(tiles * tiles, area)
-    onehot = jax.nn.one_hot(tiles_px, 256, dtype=jnp.int8)
-    hist = jnp.sum(onehot, axis=1, dtype=jnp.int32).astype(jnp.float32)
+    # ONE one-hot pixel encoding in int8 serves both the histogram and the
+    # LUT application: exact 0/1 selectors, every contraction accumulates in
+    # int32, so the result stays bit-exact. The (pixels, 256) one-hot
+    # intermediate is the dominant cost of this op (67 MB at int8 for
+    # 512x512) — it is built over the HALF-TILE blocks the LUT-apply stage
+    # needs, and each tile's histogram is recovered as the integer sum of
+    # its 2x2 blocks' histograms (identical to summing over the tile
+    # directly). (Element gathers, the obvious formulation, serialize on
+    # TPU; see ops/lk_pallas.py.)
+    bs_y, bs_x = th // 2, tw // 2
+    nb = 2 * tiles
+    blocks_px = xi.reshape(nb, bs_y, nb, bs_x).transpose(0, 2, 1, 3)
+    blocks_px = blocks_px.reshape(nb * nb, bs_y * bs_x)
+    oh_b = jax.nn.one_hot(blocks_px, 256, dtype=jnp.int8)
+    bhist = jnp.sum(oh_b, axis=1, dtype=jnp.int32)          # (nb², 256)
+    hist = bhist.reshape(tiles, 2, tiles, 2, 256).sum(axis=(1, 3))
+    hist = hist.reshape(tiles * tiles, 256).astype(jnp.float32)
 
     # Clip + redistribute (OpenCV semantics: limit = max(clip*area/256, 1)).
     limit = jnp.maximum(clip_limit * area / 256.0, 1.0)
@@ -55,10 +62,8 @@ def clahe(
     # clamped. The four neighbor-tile indices are CONSTANT within each
     # half-tile block (the floor of p/tile - 0.5 changes only at half-tile
     # boundaries), so the per-pixel 4-way LUT gather becomes a batched
-    # one-hot matmul per (th/2, tw/2) block against that block's 4 LUT
-    # rows, followed by the per-pixel bilinear blend.
-    bs_y, bs_x = th // 2, tw // 2
-    nb = 2 * tiles
+    # one-hot matmul per (th/2, tw/2) block — reusing oh_b from above —
+    # against that block's 4 LUT rows, then the per-pixel bilinear blend.
     bi = jnp.arange(nb)
     t0 = jnp.clip((bi - 1) // 2, 0, tiles - 1)   # floor(yy) per block
     t1 = jnp.clip((bi - 1) // 2 + 1, 0, tiles - 1)
@@ -78,9 +83,6 @@ def clahe(
     ], axis=-1).reshape(nb * nb, 4)
     lut4 = lut_flat[ids]                          # (B, 4, 256) — tiny gather
 
-    blocks_px = xi.reshape(nb, bs_y, nb, bs_x).transpose(0, 2, 1, 3)
-    blocks_px = blocks_px.reshape(nb * nb, bs_y * bs_x)
-    oh_b = jax.nn.one_hot(blocks_px, 256, dtype=jnp.int8)
     vals = jnp.einsum("bpc,bqc->bpq", oh_b, lut4,
                       preferred_element_type=jnp.int32) + 128  # (B, px, 4)
     vals = vals.reshape(nb, nb, bs_y, bs_x, 4).transpose(0, 2, 1, 3, 4)

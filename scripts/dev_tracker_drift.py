@@ -12,7 +12,12 @@ frame-to-frame LK random walk was ~0.8 px median — this script verifies the
 forward-backward + anchor-template fix brings it under ~0.3 px.
 
 Usage: PYTHONPATH=. python scripts/dev_tracker_drift.py [--duration=4] \
-           [--no-anchor] [--no-fb]
+           [--no-anchor] [--no-fb] [--oracle]
+
+--oracle renders frames AND computes GT projections through the
+independent OpenCV geometry oracle (eval/adversarial.py) instead of the
+package's own camera code — the de-circularized variant of this probe
+(the tracker is then graded against geometry it did not generate).
 """
 
 import functools
@@ -62,9 +67,16 @@ def main():
 
     scfg = sim.SimConfig(duration=DURATION, cam_rate=20.0, imu_rate=200.0,
                          num_landmarks=900, max_features=150, seed=7)
-    data = sim.simulate(scfg, cam64, R_IC, T_IC)
-    n = len(data.frames)
-    print(f"[drift] {n} frames, anchor={cfg.anchor_refine} fb={cfg.fb_check}")
+    use_oracle = "--oracle" in sys.argv
+    if use_oracle:
+        from mobile_slam_tpu.eval import adversarial as adv
+        data = adv.make_adversarial_data(scfg, cam_cfg, R_IC, T_IC,
+                                         adv.NuisanceConfig())
+    else:
+        data = sim.simulate(scfg, cam64, R_IC, T_IC)
+    n = len(data.cam_ts)
+    print(f"[drift] {n} frames, anchor={cfg.anchor_refine} "
+          f"fb={cfg.fb_check} oracle={use_oracle}")
 
     step = jax.jit(functools.partial(
         trk.detect_and_track, camera=cam32, cfg=cfg,
@@ -78,6 +90,13 @@ def main():
         R_wc = R_wb @ R_IC
         t_wc = data.gt_p[fi] + R_wb @ T_IC
         pts_c = (data.landmarks - t_wc) @ R_wc
+        if use_oracle:
+            from mobile_slam_tpu.eval import adversarial as adv
+            uv = np.zeros((len(pts_c), 2))
+            front = pts_c[:, 2] > 0.05
+            if front.any():
+                uv[front] = adv.oracle_project(cam_cfg, pts_c[front])
+            return uv, np.where(front, pts_c[:, 2], -1.0)
         uv = np.asarray(cam64.project(jnp.asarray(pts_c)))
         return uv, pts_c[:, 2]
 
@@ -86,7 +105,12 @@ def main():
     ages = {}
     t0 = time.time()
     for fi in range(n):
-        img = sim.render_frame(data, fi, cam64, R_IC, T_IC)
+        if use_oracle:
+            from mobile_slam_tpu.eval import adversarial as adv
+            img = adv.render_frame_adversarial(
+                data, fi, cam_cfg, R_IC, T_IC, adv.NuisanceConfig())
+        else:
+            img = sim.render_frame(data, fi, cam64, R_IC, T_IC)
         state, out = step(state, jnp.asarray(img, jnp.float32),
                           jnp.asarray(data.cam_ts[fi], jnp.float32),
                           key=jax.random.fold_in(key, fi))

@@ -86,7 +86,7 @@ def _profiles():
                         t_ic=(0.045, 0.073, -0.044)),
             tracker=dict(max_cnt=150, min_dist=20, fisheye=True,
                          max_points=160),
-            estimator=dict(num_iterations=3, acc_n=0.04, gyr_n=0.004,
+            estimator=dict(num_iterations=2, acc_n=0.04, gyr_n=0.004,
                            acc_w=4e-4, gyr_w=2e-5, max_features=384,
                            max_imu_per_interval=16),
         ),
@@ -97,7 +97,7 @@ def _profiles():
                         dist=(-0.28340811, 0.07395907, 0.00019359,
                               1.76187114e-05)),
             tracker=dict(max_cnt=150, min_dist=30, max_points=192),
-            estimator=dict(num_iterations=3, acc_n=0.08, gyr_n=0.004,
+            estimator=dict(num_iterations=2, acc_n=0.08, gyr_n=0.004,
                            acc_w=4e-5, gyr_w=2e-6, max_features=384,
                            max_imu_per_interval=16),
         ),

@@ -127,6 +127,12 @@ def main():
     time_arm("extra-fast + batchcand",
              tcfg=dataclasses.replace(base, ransac_iters=16, anchor_iters=4),
              batchcand=True)
+    time_arm("refill_min_deficit=4",
+             tcfg=dataclasses.replace(base, refill_min_deficit=4))
+    time_arm("refill_min_deficit=8",
+             tcfg=dataclasses.replace(base, refill_min_deficit=8))
+    time_arm("refill_min_deficit=16",
+             tcfg=dataclasses.replace(base, refill_min_deficit=16))
     time_arm("fb_check off",
              tcfg=dataclasses.replace(base, fb_check=False))
     time_arm("anchor_refine off",

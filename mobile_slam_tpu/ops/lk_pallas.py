@@ -105,6 +105,25 @@ def _load_block_matmul(ref, by, bx, rows, cols, h, w):
 # was originally written around).
 USE_ROLL_LOADS = True
 
+# Points processed per loop iteration. Profiling on chip
+# (scripts/dev_lk_pack_probe.py) shows the kernels are bound by
+# per-loop-iteration scalar/branch overhead (~1 us/iteration), not by the
+# loads or the patch arithmetic — an iteration body with the loads and
+# VPU work stripped costs nearly the same as the full body. Packing P
+# points per iteration as straight-line masked code therefore cuts the
+# dominant cost ~Px: converged (or inactive / non-invertible) points keep
+# recomputing but their state is `where`-masked, so results are
+# BIT-IDENTICAL to the unpacked per-point while_loop (same op sequence on
+# the same values for every live point). The group's while_loop runs
+# until every point in the pack converges, which costs max-over-pack
+# iterations instead of per-point counts — wasted lanes, but each wasted
+# iteration is ~free next to the loop overhead it amortizes.
+PACK_POINTS = 4
+
+
+def _ceil_to(n, m):
+    return -(-n // m) * m
+
 
 def _load_block(ref, by, bx, rows, cols, h, w):
     """(rows, cols) block of ref at dynamic origin (by, bx).
@@ -297,6 +316,139 @@ def _lk_kernel(pts_ref, active_ref, *refs, params: LKParams, shapes,
     jax.lax.fori_loop(0, k_slots, one_point, 0)
 
 
+def _lk_kernel_packed(pts_ref, active_ref, *refs, params: LKParams,
+                      shapes, pad, n_pack, out_x_ref, out_y_ref,
+                      out_ok_ref):
+    """_lk_kernel with n_pack points per loop iteration (PACK_POINTS).
+
+    Straight-line masked code: every point in the pack recomputes each
+    iteration, but converged / inactive / non-invertible points are
+    `where`-masked so their state never moves — results are bit-identical
+    to the unpacked kernel. k_slots must be a multiple of n_pack (the
+    wrapper pads with inactive slots)."""
+    n_lvl = len(shapes)
+    prev_refs = refs[:n_lvl]
+    next_refs = refs[n_lvl:]
+    win = params.window
+    half = (win - 1) // 2
+    win2 = float(win * win)
+    eps2 = params.eps * params.eps
+    k_slots = out_x_ref.shape[0]
+    P = n_pack
+
+    def one_group(g, _):
+        k0 = g * P
+        px = [pts_ref[k0 + p, 0] for p in range(P)]
+        py = [pts_ref[k0 + p, 1] for p in range(P)]
+        act = [active_ref[k0 + p] != 0 for p in range(P)]
+
+        top_scale = jnp.float32(2.0 ** (n_lvl - 1))
+        cx = [px[p] / top_scale for p in range(P)]
+        cy = [py[p] / top_scale for p in range(P)]
+        ok_in = [jnp.asarray(True) for _ in range(P)]
+
+        for lvl in range(n_lvl - 1, -1, -1):
+            h, w = shapes[lvl]
+            hp, wp = h + 2 * pad, w + 2 * pad
+            scale = jnp.float32(2.0 ** lvl)
+
+            t_patch, g_x, g_y = [], [], []
+            gxx, gxy, gyy, inv_det, invertible = [], [], [], [], []
+            for p in range(P):
+                tx = px[p] / scale
+                ty = py[p] / scale
+                tbx = jnp.clip(
+                    jnp.floor(tx).astype(jnp.int32) - half - 1 + pad,
+                    0, wp - (win + 3))
+                tby = jnp.clip(
+                    jnp.floor(ty).astype(jnp.int32) - half - 1 + pad,
+                    0, hp - (win + 3))
+                ftx = tx - jnp.floor(tx)
+                fty = ty - jnp.floor(ty)
+                tb = _load_block(prev_refs[lvl], tby, tbx,
+                                 win + 3, win + 3, hp, wp)
+                gxb, gyb = _scharr_on_block(tb, win + 1)
+                t_patch.append(_bilinear_block(tb[1:win + 2, 1:win + 2],
+                                               ftx, fty, win))
+                g_x.append(_bilinear_block(gxb, ftx, fty, win))
+                g_y.append(_bilinear_block(gyb, ftx, fty, win))
+
+                a = jnp.sum(g_x[p] * g_x[p])
+                b = jnp.sum(g_x[p] * g_y[p])
+                c = jnp.sum(g_y[p] * g_y[p])
+                det = a * c - b * b
+                tr = a + c
+                min_eig = 0.5 * (tr - jnp.sqrt(
+                    jnp.maximum(tr * tr - 4.0 * det, 0.0))) / win2
+                gxx.append(a)
+                gxy.append(b)
+                gyy.append(c)
+                invertible.append(min_eig > params.min_eig_threshold)
+                inv_det.append(jnp.where(jnp.abs(det) > 1e-12,
+                                         1.0 / det, 0.0))
+
+            def cond(c):
+                it, _, _, convs = c
+                all_done = convs[0]
+                for p in range(1, P):
+                    all_done = all_done & convs[p]
+                return (it < params.iters) & jnp.logical_not(all_done)
+
+            def iter_body(c):
+                it, xs, ys, convs = c
+                nxs, nys, ncvs = [], [], []
+                for p in range(P):
+                    x_, y_, cv = xs[p], ys[p], convs[p]
+                    nbx = jnp.clip(
+                        jnp.floor(x_).astype(jnp.int32) - half + pad,
+                        0, wp - (win + 1))
+                    nby = jnp.clip(
+                        jnp.floor(y_).astype(jnp.int32) - half + pad,
+                        0, hp - (win + 1))
+                    nb = _load_block(next_refs[lvl], nby, nbx,
+                                     win + 1, win + 1, hp, wp)
+                    c_patch = _bilinear_block(nb, x_ - jnp.floor(x_),
+                                              y_ - jnp.floor(y_), win)
+                    diff = c_patch - t_patch[p]
+                    b1 = jnp.sum(diff * g_x[p])
+                    b2 = jnp.sum(diff * g_y[p])
+                    dx = -(gyy[p] * b1 - gxy[p] * b2) * inv_det[p]
+                    dy = -(gxx[p] * b2 - gxy[p] * b1) * inv_det[p]
+                    step_conv = dx * dx + dy * dy <= eps2
+                    nxs.append(jnp.where(cv, x_, x_ + dx))
+                    nys.append(jnp.where(cv, y_, y_ + dy))
+                    ncvs.append(cv | step_conv)
+                return it + 1, tuple(nxs), tuple(nys), tuple(ncvs)
+
+            conv0 = tuple(
+                jnp.logical_not(act[p] & invertible[p]) for p in range(P))
+            _, xs, ys, _ = jax.lax.while_loop(
+                cond, iter_body,
+                (jnp.int32(0), tuple(cx), tuple(cy), conv0))
+            cx = list(xs)
+            cy = list(ys)
+
+            for p in range(P):
+                # Per-LEVEL health gate — see _lk_kernel.
+                inside_l = ((cx[p] >= 0.0) & (cx[p] < w - 1.0)
+                            & (cy[p] >= 0.0) & (cy[p] < h - 1.0))
+                finite_l = jnp.isfinite(cx[p]) & jnp.isfinite(cy[p])
+                ok_in[p] = (ok_in[p] & invertible[p] & inside_l
+                            & finite_l)
+                if lvl > 0:
+                    cx[p] = cx[p] * 2.0
+                    cy[p] = cy[p] * 2.0
+
+        for p in range(P):
+            out_x_ref[k0 + p, 0] = jnp.where(act[p], cx[p], px[p])
+            out_y_ref[k0 + p, 0] = jnp.where(act[p], cy[p], py[p])
+            out_ok_ref[k0 + p, 0] = (act[p] & ok_in[p]).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, k_slots // P, one_group, 0)
+
+
 def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
                      params: LKParams):
     """Drop-in for ops.lk.track_pyramidal on TPU. prev_pyr/next_pyr are
@@ -311,8 +463,20 @@ def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
     prev_pyr = [_pad_for_kernel(p, pad) for p in prev_pyr]
     next_pyr = [_pad_for_kernel(p, pad) for p in next_pyr]
 
-    kernel = functools.partial(_lk_kernel, params=params, shapes=shapes,
-                               pad=pad)
+    n_pack = max(1, int(PACK_POINTS))
+    kp = _ceil_to(k_slots, n_pack)
+    pts_in = prev_pts.astype(f32)
+    act_in = active.astype(jnp.int32)
+    if kp != k_slots:
+        pts_in = jnp.pad(pts_in, ((0, kp - k_slots), (0, 0)))
+        act_in = jnp.pad(act_in, (0, kp - k_slots))
+
+    if n_pack > 1:
+        kernel = functools.partial(_lk_kernel_packed, params=params,
+                                   shapes=shapes, pad=pad, n_pack=n_pack)
+    else:
+        kernel = functools.partial(_lk_kernel, params=params,
+                                   shapes=shapes, pad=pad)
 
     def wrapped(pts_ref, active_ref, *rest):
         *imgs, ox, oy, ook = rest
@@ -322,9 +486,9 @@ def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
     out_x, out_y, out_ok = pl.pallas_call(
         wrapped,
         out_shape=(
-            jax.ShapeDtypeStruct((k_slots, 1), f32),
-            jax.ShapeDtypeStruct((k_slots, 1), f32),
-            jax.ShapeDtypeStruct((k_slots, 1), jnp.int32),
+            jax.ShapeDtypeStruct((kp, 1), f32),
+            jax.ShapeDtypeStruct((kp, 1), f32),
+            jax.ShapeDtypeStruct((kp, 1), jnp.int32),
         ),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -337,12 +501,12 @@ def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
-    )(prev_pts.astype(f32), active.astype(jnp.int32),
+    )(pts_in, act_in,
       *[p.astype(f32) for p in prev_pyr],
       *[p.astype(f32) for p in next_pyr])
 
-    pos = jnp.concatenate([out_x, out_y], axis=1)
-    return pos, out_ok[:, 0] != 0
+    pos = jnp.concatenate([out_x[:k_slots], out_y[:k_slots]], axis=1)
+    return pos, out_ok[:k_slots, 0] != 0
 
 
 def _refine_kernel(pts_ref, active_ref, img_ref, t_ref, gx_ref, gy_ref,
@@ -444,6 +608,113 @@ def _refine_kernel(pts_ref, active_ref, img_ref, t_ref, gx_ref, gy_ref,
     jax.lax.fori_loop(0, k_slots, one_point, 0)
 
 
+def _refine_kernel_packed(pts_ref, active_ref, img_ref, t_ref, gx_ref,
+                          gy_ref, out_x_ref, out_y_ref, out_ok_ref,
+                          out_res_ref, *, window, iters, eps, max_shift,
+                          shape, pad, n_pack):
+    """_refine_kernel with n_pack points per loop iteration — see
+    _lk_kernel_packed for the masking scheme (bit-identical results)."""
+    h, w = shape
+    hp, wp = h + 2 * pad, w + 2 * pad
+    win = window
+    half = (win - 1) // 2
+    win2 = float(win * win)
+    eps2 = eps * eps
+    k_slots = out_x_ref.shape[0]
+    P = n_pack
+
+    def sample(ix_, iy_):
+        bx = jnp.clip(jnp.floor(ix_).astype(jnp.int32) - half + pad,
+                      0, wp - (win + 1))
+        by = jnp.clip(jnp.floor(iy_).astype(jnp.int32) - half + pad,
+                      0, hp - (win + 1))
+        nb = _load_block(img_ref, by, bx, win + 1, win + 1, hp, wp)
+        return _bilinear_block(nb, ix_ - jnp.floor(ix_),
+                               iy_ - jnp.floor(iy_), win)
+
+    def one_group(g, _):
+        k0 = g * P
+        x0 = [pts_ref[k0 + p, 0] for p in range(P)]
+        y0 = [pts_ref[k0 + p, 1] for p in range(P)]
+        act = [active_ref[k0 + p] != 0 for p in range(P)]
+
+        t_zm, g_x, g_y = [], [], []
+        gxx, gxy, gyy, inv_det, invertible = [], [], [], [], []
+        for p in range(P):
+            tp = t_ref[k0 + p]
+            gx_p = gx_ref[k0 + p]
+            gy_p = gy_ref[k0 + p]
+            t_zm.append(tp - jnp.sum(tp) / win2)
+            g_x.append(gx_p)
+            g_y.append(gy_p)
+            a = jnp.sum(gx_p * gx_p)
+            b = jnp.sum(gx_p * gy_p)
+            c = jnp.sum(gy_p * gy_p)
+            det = a * c - b * b
+            tr = a + c
+            min_eig = 0.5 * (tr - jnp.sqrt(
+                jnp.maximum(tr * tr - 4.0 * det, 0.0))) / win2
+            gxx.append(a)
+            gxy.append(b)
+            gyy.append(c)
+            invertible.append(min_eig > 1e-4)
+            inv_det.append(jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0))
+
+        def cond(c):
+            it, _, _, convs = c
+            all_done = convs[0]
+            for p in range(1, P):
+                all_done = all_done & convs[p]
+            return (it < iters) & jnp.logical_not(all_done)
+
+        def iter_body(c):
+            it, xs, ys, convs = c
+            nxs, nys, ncvs = [], [], []
+            for p in range(P):
+                x_, y_, cv = xs[p], ys[p], convs[p]
+                c_patch = sample(x_, y_)
+                c_zm = c_patch - jnp.sum(c_patch) / win2
+                diff = c_zm - t_zm[p]
+                b1 = jnp.sum(diff * g_x[p])
+                b2 = jnp.sum(diff * g_y[p])
+                dx = -(gyy[p] * b1 - gxy[p] * b2) * inv_det[p]
+                dy = -(gxx[p] * b2 - gxy[p] * b1) * inv_det[p]
+                nx, ny = x_ + dx, y_ + dy
+                ox_, oy_ = nx - x0[p], ny - y0[p]
+                r = jnp.sqrt(ox_ * ox_ + oy_ * oy_)
+                s = jnp.where(r > max_shift,
+                              max_shift / jnp.maximum(r, 1e-9), 1.0)
+                step_conv = dx * dx + dy * dy <= eps2
+                nxs.append(jnp.where(cv, x_, x0[p] + ox_ * s))
+                nys.append(jnp.where(cv, y_, y0[p] + oy_ * s))
+                ncvs.append(cv | step_conv)
+            return it + 1, tuple(nxs), tuple(nys), tuple(ncvs)
+
+        conv0 = tuple(
+            jnp.logical_not(act[p] & invertible[p]) for p in range(P))
+        _, xs, ys, _ = jax.lax.while_loop(
+            cond, iter_body,
+            (jnp.int32(0), tuple(x0), tuple(y0), conv0))
+
+        for p in range(P):
+            cx, cy = xs[p], ys[p]
+            c_patch = sample(cx, cy)
+            c_zm = c_patch - jnp.sum(c_patch) / win2
+            resid = jnp.sum(jnp.abs(c_zm - t_zm[p])) / win2
+            inside = ((cx >= 0.0) & (cx < w - 1.0)
+                      & (cy >= 0.0) & (cy < h - 1.0))
+            finite = jnp.isfinite(cx) & jnp.isfinite(cy)
+            out_x_ref[k0 + p, 0] = jnp.where(act[p], cx, x0[p])
+            out_y_ref[k0 + p, 0] = jnp.where(act[p], cy, y0[p])
+            out_ok_ref[k0 + p, 0] = (act[p] & invertible[p] & inside
+                                     & finite).astype(jnp.int32)
+            out_res_ref[k0 + p, 0] = jnp.where(act[p], resid, 0.0)
+
+        return 0
+
+    jax.lax.fori_loop(0, k_slots // P, one_group, 0)
+
+
 def _refine_template(img, t_patch, gx, gy, pos0, active, window, iters,
                      eps, max_shift):
     """Drop-in for ops.lk.refine_template on TPU. t_patch/gx/gy are
@@ -454,11 +725,29 @@ def _refine_template(img, t_patch, gx, gy, pos0, active, window, iters,
     gx3 = gx.reshape(k_slots, window, window).astype(f32)
     gy3 = gy.reshape(k_slots, window, window).astype(f32)
 
+    n_pack = max(1, int(PACK_POINTS))
+    kp = _ceil_to(k_slots, n_pack)
+    pts_in = pos0.astype(f32)
+    act_in = active.astype(jnp.int32)
+    if kp != k_slots:
+        dk = kp - k_slots
+        pts_in = jnp.pad(pts_in, ((0, dk), (0, 0)))
+        act_in = jnp.pad(act_in, (0, dk))
+        t3 = jnp.pad(t3, ((0, dk), (0, 0), (0, 0)))
+        gx3 = jnp.pad(gx3, ((0, dk), (0, 0), (0, 0)))
+        gy3 = jnp.pad(gy3, ((0, dk), (0, 0), (0, 0)))
+
     half = (window - 1) // 2
     pad = half + 2
-    kernel = functools.partial(
-        _refine_kernel, window=window, iters=iters, eps=float(eps),
-        max_shift=float(max_shift), shape=img.shape, pad=pad)
+    if n_pack > 1:
+        kernel = functools.partial(
+            _refine_kernel_packed, window=window, iters=iters,
+            eps=float(eps), max_shift=float(max_shift), shape=img.shape,
+            pad=pad, n_pack=n_pack)
+    else:
+        kernel = functools.partial(
+            _refine_kernel, window=window, iters=iters, eps=float(eps),
+            max_shift=float(max_shift), shape=img.shape, pad=pad)
 
     def wrapped(pts_ref, active_ref, img_ref, t_ref, gx_ref, gy_ref,
                 ox, oy, ook, ores):
@@ -469,10 +758,10 @@ def _refine_template(img, t_patch, gx, gy, pos0, active, window, iters,
     out_x, out_y, out_ok, out_res = pl.pallas_call(
         wrapped,
         out_shape=(
-            jax.ShapeDtypeStruct((k_slots, 1), f32),
-            jax.ShapeDtypeStruct((k_slots, 1), f32),
-            jax.ShapeDtypeStruct((k_slots, 1), jnp.int32),
-            jax.ShapeDtypeStruct((k_slots, 1), f32),
+            jax.ShapeDtypeStruct((kp, 1), f32),
+            jax.ShapeDtypeStruct((kp, 1), f32),
+            jax.ShapeDtypeStruct((kp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((kp, 1), f32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -489,11 +778,10 @@ def _refine_template(img, t_patch, gx, gy, pos0, active, window, iters,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
-    )(pos0.astype(f32), active.astype(jnp.int32),
-      _pad_for_kernel(img.astype(f32), pad), t3, gx3, gy3)
+    )(pts_in, act_in, _pad_for_kernel(img.astype(f32), pad), t3, gx3, gy3)
 
-    pos = jnp.concatenate([out_x, out_y], axis=1)
-    return pos, out_ok[:, 0] != 0, out_res[:, 0]
+    pos = jnp.concatenate([out_x[:k_slots], out_y[:k_slots]], axis=1)
+    return pos, out_ok[:k_slots, 0] != 0, out_res[:k_slots, 0]
 
 
 def _extract_kernel(pts_ref, img_ref, t_ref, gx_ref, gy_ref, *,
@@ -526,6 +814,40 @@ def _extract_kernel(pts_ref, img_ref, t_ref, gx_ref, gy_ref, *,
     jax.lax.fori_loop(0, k_slots, one_point, 0)
 
 
+def _extract_kernel_packed(pts_ref, img_ref, t_ref, gx_ref, gy_ref, *,
+                           window, shape, pad, n_pack):
+    """_extract_kernel with n_pack points per loop iteration."""
+    h, w = shape
+    hp, wp = h + 2 * pad, w + 2 * pad
+    win = window
+    half = (win - 1) // 2
+    k_slots = pts_ref.shape[0]
+    P = n_pack
+
+    def one_group(g, _):
+        k0 = g * P
+        for p in range(P):
+            tx = pts_ref[k0 + p, 0]
+            ty = pts_ref[k0 + p, 1]
+            tbx = jnp.clip(
+                jnp.floor(tx).astype(jnp.int32) - half - 1 + pad,
+                0, wp - (win + 3))
+            tby = jnp.clip(
+                jnp.floor(ty).astype(jnp.int32) - half - 1 + pad,
+                0, hp - (win + 3))
+            ftx = tx - jnp.floor(tx)
+            fty = ty - jnp.floor(ty)
+            tb = _load_block(img_ref, tby, tbx, win + 3, win + 3, hp, wp)
+            gxb, gyb = _scharr_on_block(tb, win + 1)
+            t_ref[k0 + p] = _bilinear_block(tb[1:win + 2, 1:win + 2],
+                                            ftx, fty, win)
+            gx_ref[k0 + p] = _bilinear_block(gxb, ftx, fty, win)
+            gy_ref[k0 + p] = _bilinear_block(gyb, ftx, fty, win)
+        return 0
+
+    jax.lax.fori_loop(0, k_slots // P, one_group, 0)
+
+
 def _extract_patches(img, centers, window):
     """Drop-in for ops.lk.extract_patches on TPU: (t, gx, gy) each
     (K, window*window). Border behavior: replicate padding (== per-pixel
@@ -537,8 +859,19 @@ def _extract_patches(img, centers, window):
     half = (window - 1) // 2
     pad = half + 2
 
-    kernel = functools.partial(_extract_kernel, window=window,
-                               shape=img.shape, pad=pad)
+    n_pack = max(1, int(PACK_POINTS))
+    kp = _ceil_to(k_slots, n_pack)
+    pts_in = centers.astype(f32)
+    if kp != k_slots:
+        pts_in = jnp.pad(pts_in, ((0, kp - k_slots), (0, 0)))
+
+    if n_pack > 1:
+        kernel = functools.partial(_extract_kernel_packed, window=window,
+                                   shape=img.shape, pad=pad,
+                                   n_pack=n_pack)
+    else:
+        kernel = functools.partial(_extract_kernel, window=window,
+                                   shape=img.shape, pad=pad)
 
     def wrapped(pts_ref, img_ref, t_ref, gx_ref, gy_ref):
         kernel(pts_ref, img_ref, t_ref, gx_ref, gy_ref)
@@ -546,9 +879,9 @@ def _extract_patches(img, centers, window):
     t3, gx3, gy3 = pl.pallas_call(
         wrapped,
         out_shape=(
-            jax.ShapeDtypeStruct((k_slots, window, window), f32),
-            jax.ShapeDtypeStruct((k_slots, window, window), f32),
-            jax.ShapeDtypeStruct((k_slots, window, window), f32),
+            jax.ShapeDtypeStruct((kp, window, window), f32),
+            jax.ShapeDtypeStruct((kp, window, window), f32),
+            jax.ShapeDtypeStruct((kp, window, window), f32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -560,11 +893,11 @@ def _extract_patches(img, centers, window):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=_INTERPRET,
-    )(centers.astype(f32), _pad_for_kernel(img.astype(f32), pad))
+    )(pts_in, _pad_for_kernel(img.astype(f32), pad))
 
-    return (t3.reshape(k_slots, window * window),
-            gx3.reshape(k_slots, window * window),
-            gy3.reshape(k_slots, window * window))
+    return (t3[:k_slots].reshape(k_slots, window * window),
+            gx3[:k_slots].reshape(k_slots, window * window),
+            gy3[:k_slots].reshape(k_slots, window * window))
 
 
 def _sequential_vmap(fn, n_array_args):

@@ -364,6 +364,41 @@ def _image_path_core(cfg, data, frames, fleet=False):
     return fps_image, ate, len(est_p), n_img, fps_fleet
 
 
+def _image_path_recovering(cfg, data, frames):
+    """Full image path through ChunkedImageServer (engine/serving.py):
+    chunked scans while healthy, rebuild-and-continue streaming re-init
+    when a chunk tail goes bad — the reference's failure story
+    (vio_engine.cpp:248-279) at serving granularity. Returns
+    (fps, ate_sim3, poses, n_frames, n_recoveries)."""
+    from mobile_slam_tpu.engine.serving import ChunkedImageServer
+
+    server = ChunkedImageServer(cfg, jnp.float32, chunk_size=CHUNK)
+    est_ts, est_p = [], []
+    imu_i = 0
+    t_start = time.perf_counter()
+    for fi in range(len(frames)):
+        ts = data.cam_ts[fi]
+        while imu_i < len(data.imu_ts) and data.imu_ts[imu_i] <= ts + 1e-9:
+            server.push_imu(data.imu_ts[imu_i], data.imu_acc[imu_i],
+                            data.imu_gyr[imu_i])
+            imu_i += 1
+        for r in server.process_frame(frames[fi], ts):
+            if r.ok:
+                est_ts.append(r.ts)
+                est_p.append(r.p)
+    for r in server.flush():
+        if r.ok:
+            est_ts.append(r.ts)
+            est_p.append(r.p)
+    wall = time.perf_counter() - t_start
+    fps = len(frames) / wall if wall > 0 else 0.0
+    ate = float("nan")
+    if len(est_p) > 10:
+        ate = compute_ate(np.asarray(est_ts), np.asarray(est_p, np.float64),
+                          data.cam_ts, data.gt_p, with_scale=True).rmse
+    return fps, ate, len(est_p), len(frames), server.n_recoveries
+
+
 def run_adversarial_bench():
     """ATE degradation curve vs nuisance level (VERDICT r2 'de-circularize').
 
@@ -401,23 +436,39 @@ def run_adversarial_bench():
             )
             data = adv.make_adversarial_data(
                 scfg, cfg.camera, R_IC, np.asarray(cfg.camera.t_ic_vec), nuis)
-            movers = adv.make_movers(nuis)
-            t_r = time.perf_counter()
-            frames = [adv.render_frame_adversarial(
-                data, fi, cfg.camera, R_IC, np.asarray(cfg.camera.t_ic_vec),
-                nuis, movers) for fi in range(len(data.cam_ts))]
-            print(f"[bench-adv] level {lvl} seed {seed}: rendered "
-                  f"{len(frames)} oracle frames in "
-                  f"{time.perf_counter()-t_r:.0f}s", file=sys.stderr)
-            fps, ate, poses, n_img, _ = _image_path_core(cfg, data, frames)
+            cache_dir = next((a.split("=")[1] for a in sys.argv
+                              if a.startswith("--adv-cache=")), None)
+            cache = None
+            if cache_dir:
+                import os
+                os.makedirs(cache_dir, exist_ok=True)
+                cache = os.path.join(
+                    cache_dir, f"frames_l{lvl}_s{seed}_d{int(duration)}.npz")
+            if cache and os.path.exists(cache):
+                frames = list(np.load(cache)["frames"])
+            else:
+                movers = adv.make_movers(nuis)
+                t_r = time.perf_counter()
+                frames = [adv.render_frame_adversarial(
+                    data, fi, cfg.camera, R_IC,
+                    np.asarray(cfg.camera.t_ic_vec),
+                    nuis, movers) for fi in range(len(data.cam_ts))]
+                print(f"[bench-adv] level {lvl} seed {seed}: rendered "
+                      f"{len(frames)} oracle frames in "
+                      f"{time.perf_counter()-t_r:.0f}s", file=sys.stderr)
+                if cache:
+                    np.savez_compressed(cache, frames=np.stack(frames))
+            fps, ate, poses, n_img, n_rec = _image_path_recovering(
+                cfg, data, frames)
             results.append({
                 "level": lvl, "seed": seed,
                 "ate_sim3_m": None if ate != ate else round(ate, 4),
                 "poses": poses, "frames": n_img, "fps": round(fps, 1),
+                "recoveries": n_rec,
             })
             print(f"[bench-adv] level {lvl} seed {seed}: "
-                  f"ATE {ate:.4f} m, {poses}/{n_img} poses, {fps:.1f} fps",
-                  file=sys.stderr)
+                  f"ATE {ate:.4f} m, {poses}/{n_img} poses, {fps:.1f} fps, "
+                  f"{n_rec} recoveries", file=sys.stderr)
     print(json.dumps({
         "metric": "adversarial ATE degradation curve (oracle renderer)",
         "unit": "m", "duration_s": duration, "arms": results,

@@ -412,6 +412,10 @@ def solve_and_slide(
     diag = StepDiag(
         is_keyframe=is_kf,
         culled_ids=culled_ids,
+        # Not wired: the tracked-from-previous-frame count lives in
+        # bookkeeping_step's AddResult (feature_table.add); here it would
+        # need re-deriving from the table. Use FrameInput.valid counts or
+        # AddResult.last_track_num for that signal.
         last_track_num=jnp.asarray(0, jnp.int32),
         solver_cost0=res.cost0,
         solver_cost=res.cost,

@@ -450,9 +450,13 @@ def _lk_kernel_packed(pts_ref, active_ref, *refs, params: LKParams,
 
 
 def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
-                     params: LKParams):
+                     params: LKParams, n_pack: int | None = None):
     """Drop-in for ops.lk.track_pyramidal on TPU. prev_pyr/next_pyr are
-    (H/2^l, W/2^l) float32 images; prev_pts (K, 2); active (K,)."""
+    (H/2^l, W/2^l) float32 images; prev_pts (K, 2); active (K,).
+
+    n_pack overrides the module-default PACK_POINTS (ILP packing factor);
+    pass it explicitly when A/B-ing pack modes so correctness never depends
+    on re-tracing after a global mutation."""
     k_slots = prev_pts.shape[0]
     shapes = tuple(im.shape for im in prev_pyr)
     f32 = jnp.float32
@@ -463,7 +467,7 @@ def _track_pyramidal(prev_pyr, next_pyr, prev_pts, active,
     prev_pyr = [_pad_for_kernel(p, pad) for p in prev_pyr]
     next_pyr = [_pad_for_kernel(p, pad) for p in next_pyr]
 
-    n_pack = max(1, int(PACK_POINTS))
+    n_pack = max(1, int(PACK_POINTS if n_pack is None else n_pack))
     kp = _ceil_to(k_slots, n_pack)
     pts_in = prev_pts.astype(f32)
     act_in = active.astype(jnp.int32)
@@ -716,16 +720,17 @@ def _refine_kernel_packed(pts_ref, active_ref, img_ref, t_ref, gx_ref,
 
 
 def _refine_template(img, t_patch, gx, gy, pos0, active, window, iters,
-                     eps, max_shift):
+                     eps, max_shift, n_pack: int | None = None):
     """Drop-in for ops.lk.refine_template on TPU. t_patch/gx/gy are
-    (K, window*window) as stored in TrackerState."""
+    (K, window*window) as stored in TrackerState. n_pack overrides
+    PACK_POINTS (see _track_pyramidal)."""
     k_slots = pos0.shape[0]
     f32 = jnp.float32
     t3 = t_patch.reshape(k_slots, window, window).astype(f32)
     gx3 = gx.reshape(k_slots, window, window).astype(f32)
     gy3 = gy.reshape(k_slots, window, window).astype(f32)
 
-    n_pack = max(1, int(PACK_POINTS))
+    n_pack = max(1, int(PACK_POINTS if n_pack is None else n_pack))
     kp = _ceil_to(k_slots, n_pack)
     pts_in = pos0.astype(f32)
     act_in = active.astype(jnp.int32)
@@ -848,7 +853,7 @@ def _extract_kernel_packed(pts_ref, img_ref, t_ref, gx_ref, gy_ref, *,
     jax.lax.fori_loop(0, k_slots // P, one_group, 0)
 
 
-def _extract_patches(img, centers, window):
+def _extract_patches(img, centers, window, n_pack: int | None = None):
     """Drop-in for ops.lk.extract_patches on TPU: (t, gx, gy) each
     (K, window*window). Border behavior: replicate padding (== per-pixel
     clamp); ops/lk.py's full-image Scharr uses reflect-101 padding, so
@@ -859,7 +864,7 @@ def _extract_patches(img, centers, window):
     half = (window - 1) // 2
     pad = half + 2
 
-    n_pack = max(1, int(PACK_POINTS))
+    n_pack = max(1, int(PACK_POINTS if n_pack is None else n_pack))
     kp = _ceil_to(k_slots, n_pack)
     pts_in = centers.astype(f32)
     if kp != k_slots:

@@ -53,20 +53,18 @@ def main():
 
     results = {}
     for pack in (1, 4):
-        lk_pallas.PACK_POINTS = pack
+        # n_pack threaded explicitly (not via the PACK_POINTS global): each
+        # pack value traces its own kernel, so jit caching can't cross arms.
         track = jax.jit(lambda a, b, p, m, _v=pack: (
-            lk_pallas._track_pyramidal(a, b, p, m, params)))
+            lk_pallas._track_pyramidal(a, b, p, m, params, n_pack=_v)))
         (pos, ok), t_track = timeit(track, pyr0, pyr1, pts, active)
 
-        tp, gx, gy = jax.jit(
-            lambda i, c, _v=pack: lk_pallas._extract_patches(i, c, WIN)
-        )(img0, pts)
         extract = jax.jit(lambda i, c, _v=pack: (
-            lk_pallas._extract_patches(i, c, WIN)))
+            lk_pallas._extract_patches(i, c, WIN, n_pack=_v)))
         (tp, gx, gy), t_ext = timeit(extract, img0, pts)
 
         refine = jax.jit(lambda *a, _v=pack: lk_pallas._refine_template(
-            *a, WIN, 10, 0.01, 4.0))
+            *a, WIN, 10, 0.01, 4.0, n_pack=_v))
         (rpos, rok, rres), t_ref = timeit(
             refine, img1, tp, gx, gy, pts, active)
 

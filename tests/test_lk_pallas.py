@@ -73,12 +73,14 @@ def _points():
 
 
 class TestTrackParity:
-    def test_matches_xla_reference(self, world):
+    @pytest.mark.parametrize("n_pack", [1, 4])
+    def test_matches_xla_reference(self, world, n_pack):
         _, _, p0, p1, _ = world
         pts, act = _points()
         pos_x, ok_x = lk.track_pyramidal(list(p0), list(p1), pts, act,
                                          PARAMS)
-        pos_p, ok_p = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS)
+        pos_p, ok_p = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS,
+                                                n_pack)
         pos_x, ok_x = np.asarray(pos_x), np.asarray(ok_x)
         pos_p, ok_p = np.asarray(pos_p), np.asarray(ok_p)
 
@@ -153,6 +155,46 @@ class TestExtractParity:
                            (gy_x, gy_p, "gy")):
             d = np.abs(np.asarray(a)[interior] - np.asarray(b)[interior])
             assert d.max() < 1e-3, f"{name} diff {d.max()}"
+
+
+class TestPackParity:
+    """PACK_POINTS=4 masks converged/dead lanes with `where`, so packed and
+    unpacked paths execute the same op sequence on the same values for every
+    live point — the results must be BIT-identical, not just close (the
+    on-chip A/B in scripts/dev_lk_pack_ab.py checks the same contract on
+    real Mosaic lowering)."""
+
+    def test_track_bit_parity(self, world):
+        _, _, p0, p1, _ = world
+        pts, act = _points()
+        pos_1, ok_1 = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS, 1)
+        pos_4, ok_4 = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS, 4)
+        np.testing.assert_array_equal(np.asarray(ok_1), np.asarray(ok_4))
+        np.testing.assert_array_equal(np.asarray(pos_1), np.asarray(pos_4))
+
+    def test_refine_bit_parity(self, world):
+        img0, img1, _, _, _ = world
+        pts, act = _points()
+        t, gx, gy = lk.extract_patches(jnp.asarray(img0, jnp.float32), pts,
+                                       PARAMS.window)
+        start = pts + jnp.asarray([0.9, -0.6])
+        args = (t, gx, gy, start, act, PARAMS.window, 8, 0.005, 2.0)
+        out_1 = lk_pallas.refine_template(jnp.asarray(img1, jnp.float32),
+                                          *args, 1)
+        out_4 = lk_pallas.refine_template(jnp.asarray(img1, jnp.float32),
+                                          *args, 4)
+        for a, b in zip(out_1, out_4):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_extract_bit_parity(self, world):
+        img0, _, _, _, _ = world
+        pts, _ = _points()
+        out_1 = lk_pallas.extract_patches(jnp.asarray(img0, jnp.float32),
+                                          pts, PARAMS.window, 1)
+        out_4 = lk_pallas.extract_patches(jnp.asarray(img0, jnp.float32),
+                                          pts, PARAMS.window, 4)
+        for a, b in zip(out_1, out_4):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestSequentialVmap:

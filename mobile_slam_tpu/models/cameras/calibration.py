@@ -395,6 +395,145 @@ def _bootstrap_mei(board_size, object_points, image_points, width, height):
     return mei.make_params(best_g, best_g, u0, v0, xi=1.0, dtype=jnp.float64)
 
 
+def _bootstrap_scaramuzza(board_size, object_points, image_points, width,
+                          height):
+    """Scaramuzza-thesis closed-form OCAM bootstrap
+    (ScaramuzzaCamera.cc:204-557 estimateIntrinsics; "Omnidirectional
+    Vision: from Calibration to Robot Motion Estimation", ETH thesis 17635,
+    calibrate.m):
+
+    1. per view, the z=0 board plane gives 2N homogeneous equations in the
+       scaled partial extrinsics h = (r11, r12, r21, r22, t1, t2) — SVD
+       null vector;
+    2. the dropped third row (r31, r32) is recovered from orthonormality
+       (|r1|=|r2|, r1·r2=0: a quadratic in r32²), sign candidates
+       disambiguated by a per-view quadratic-poly least squares — the
+       correct H makes the 2N equations consistent (small residual) with
+       board depth in front of the camera;
+    3. one global least squares over all views solves the forward
+       polynomial [a0, 0, a2, a3, a4] jointly with every view's t3.
+
+    Two deviations from the reference: pixels are CENTERED before step 1
+    (the thesis model is about the distortion center; the reference feeds
+    raw pixels to the same equations, a path its own tests never execute),
+    and candidate selection is by equation residual + front-of-camera gate
+    instead of assert(single candidate). Returns (flat_params, poses) with
+    poses in this repo's z-forward camera frame (the thesis "mirror" frame
+    is z-flipped; scaramuzza.py lift negates the poly the same way the
+    reference's liftProjective does)."""
+    u0, v0 = width / 2.0, height / 2.0
+    views = []
+    for obj, img in zip(object_points, image_points):
+        o = np.asarray(obj, np.float64)
+        X, Y = o[:, 0], o[:, 1]
+        im = np.asarray(img, np.float64)
+        u, v = im[:, 0] - u0, im[:, 1] - v0
+        rho = np.hypot(u, v)
+        M = np.stack([-v * X, -v * Y, u * X, u * Y, -v, u], axis=-1)
+        _, _, vt = np.linalg.svd(M)
+        sr11, sr12, sr21, sr22, st1, st2 = vt[-1]
+        AA = (sr11 * sr12 + sr21 * sr22) ** 2
+        BB = sr11 * sr11 + sr21 * sr21
+        CC = sr12 * sr12 + sr22 * sr22
+        disc = np.sqrt((CC - BB) ** 2 + 4.0 * AA)
+        thirds = []
+        for r2 in ((-(CC - BB) + disc) / 2.0, (-(CC - BB) - disc) / 2.0):
+            if r2 > 1e-14:
+                for s in (1.0, -1.0):
+                    sr32 = s * np.sqrt(r2)
+                    thirds.append((-(sr11 * sr12 + sr21 * sr22) / sr32, sr32))
+            elif abs(r2) <= 1e-14:
+                sr31 = np.sqrt(max(CC - BB, 0.0))
+                thirds += [(sr31, 0.0), (-sr31, 0.0)]
+        best = None
+        for sr31, sr32 in thirds:
+            lam = 1.0 / np.sqrt(sr11 * sr11 + sr21 * sr21 + sr31 * sr31)
+            for sgn in (lam, -lam):
+                H = sgn * np.array([[sr11, sr12, st1],
+                                    [sr21, sr22, st2],
+                                    [sr31, sr32, 0.0]])
+                A = H[1, 0] * X + H[1, 1] * Y + H[1, 2]
+                C = H[0, 0] * X + H[0, 1] * Y + H[0, 2]
+                rz = H[2, 0] * X + H[2, 1] * Y
+                Am = np.zeros((2 * len(X), 4))
+                Bv = np.empty(2 * len(X))
+                for k, pw in enumerate((np.ones_like(rho), rho, rho * rho)):
+                    Am[0::2, k] = A * pw
+                    Am[1::2, k] = C * pw
+                Am[0::2, 3] = -v
+                Am[1::2, 3] = -u
+                Bv[0::2] = v * rz
+                Bv[1::2] = u * rz
+                x, *_ = np.linalg.lstsq(Am, Bv, rcond=None)
+                resid = float(np.linalg.norm(Am @ x - Bv))
+                # Front-of-camera gates in the thesis (z-flipped) frame:
+                # f(0) = a0 < 0 and board depth t3 < 0.
+                if x[0] < 0.0 and x[3] < 0.0:
+                    if best is None or resid < best[0]:
+                        best = (resid, H)
+        if best is not None:
+            views.append((best[1], X, Y, u, v, rho))
+    if len(views) < 2:
+        raise ValueError("Scaramuzza bootstrap failed with given data")
+
+    # Global solve: [a0, a2, a3, a4] + per-view t3 (a1 = 0, thesis §3).
+    nv = len(views)
+    blocks, rhs = [], []
+    for i, (H, X, Y, u, v, rho) in enumerate(views):
+        A = H[1, 0] * X + H[1, 1] * Y + H[1, 2]
+        C = H[0, 0] * X + H[0, 1] * Y + H[0, 2]
+        rz = H[2, 0] * X + H[2, 1] * Y
+        blk = np.zeros((2 * len(X), 4 + nv))
+        for k, pw in enumerate((np.ones_like(rho), rho ** 2, rho ** 3,
+                                rho ** 4)):
+            blk[0::2, k] = A * pw
+            blk[1::2, k] = C * pw
+        blk[0::2, 4 + i] = -v
+        blk[1::2, 4 + i] = -u
+        b = np.empty(2 * len(X))
+        b[0::2] = v * rz
+        b[1::2] = u * rz
+        blocks.append(blk)
+        rhs.append(b)
+    sol, *_ = np.linalg.lstsq(np.concatenate(blocks), np.concatenate(rhs),
+                              rcond=None)
+    poly = np.array([sol[0], 0.0, sol[1], sol[2], sol[3]])
+    t3s = sol[4:]
+
+    # Poses to the repo's z-forward frame: P_repo = diag(1,1,-1) P_thesis.
+    poses = []
+    for i, (H, *_rest) in enumerate(views):
+        R12 = np.stack([H[:, 0], H[:, 1]], axis=1)
+        R12[2, :] *= -1.0
+        R = np.stack([R12[:, 0], R12[:, 1],
+                      np.cross(R12[:, 0], R12[:, 1])], axis=1)
+        U, _, Vt = np.linalg.svd(R)
+        R = U @ Vt
+        if np.linalg.det(R) < 0:
+            R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+        poses.append((R, np.array([H[0, 2], H[1, 2], -t3s[i]])))
+
+    inv_poly = scaramuzza.fit_inverse_poly(poly, 0.5 * np.hypot(width, height))
+    flat = np.concatenate([inv_poly, [u0, v0, 1.0, 0.0, 0.0]])
+    return flat, poses
+
+
+def _reproj_err_with_poses(params, model_type, objs, uvs, poses):
+    """Reprojection RMS with externally supplied board poses (the OCAM
+    bootstrap solves its own extrinsics; _board_pnp's lift path needs the
+    forward poly, which the flat layout does not carry)."""
+    project = _PROJECT[model_type]
+    total, count = 0.0, 0
+    for (R, t), obj, img in zip(poses, objs, uvs):
+        pc = np.asarray(obj, np.float64) @ np.asarray(R).T + t
+        uv = np.asarray(project(jnp.asarray(params), jnp.asarray(pc)))
+        if not np.all(np.isfinite(uv)):
+            return np.inf
+        total += float(np.sum((uv - np.asarray(img)) ** 2))
+        count += len(obj)
+    return np.sqrt(total / max(count, 1))
+
+
 _BOOTSTRAP = {
     "PINHOLE": _bootstrap_pinhole,
     "KANNALA_BRANDT": _bootstrap_kb,
@@ -416,6 +555,20 @@ def calibrate_from_board(model_type: str, board_size, object_points,
     Returns (params, rms_px) with params in the model's flat layout.
     """
     mt = model_type.upper()
+    if mt == "SCARAMUZZA":
+        # OCAM solves its own per-view extrinsics as part of the bootstrap
+        # (ScaramuzzaCamera.cc:216-421); _board_pnp's generic lift path
+        # cannot serve it because the flat layout carries only inv_poly.
+        params, poses = _bootstrap_scaramuzza(
+            board_size, object_points, image_points, width, height)
+        objs = [np.asarray(o, np.float64) for o in object_points]
+        uvs = [np.asarray(i, np.float64) for i in image_points]
+        rms = _reproj_err_with_poses(jnp.asarray(params), mt, objs, uvs,
+                                     poses)
+        if not refine:
+            return params, rms
+        return _refine_board_joint(mt, params, objs, uvs, poses,
+                                   iters=refine_iters)
     if mt not in _BOOTSTRAP:
         raise ValueError(f"no bootstrap for model {mt}")
     params = np.asarray(_BOOTSTRAP[mt](board_size, object_points,

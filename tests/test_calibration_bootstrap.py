@@ -7,8 +7,9 @@ import pytest
 
 import jax.numpy as jnp
 
-from mobile_slam_tpu.models.cameras import equidistant, mei, pinhole
-from mobile_slam_tpu.models.cameras.calibration import calibrate_from_board
+from mobile_slam_tpu.models.cameras import equidistant, mei, pinhole, scaramuzza
+from mobile_slam_tpu.models.cameras.calibration import (
+    _scaramuzza_project_flat, calibrate_from_board)
 
 BOARD = (9, 6)          # inner corners (cols, rows)
 SQUARE = 0.04           # m
@@ -133,3 +134,46 @@ class TestMeiBootstrap:
         f_eq_true = 380.0 / (1.0 + 0.95)
         f_eq = float(params[0]) / (1.0 + float(params[8]))
         assert abs(f_eq - f_eq_true) / f_eq_true < 0.08
+
+
+class TestScaramuzzaBootstrap:
+    """OCAM bootstrap oracle (ScaramuzzaCamera.cc:204-557): ground-truth
+    camera built from a forward polynomial + its fitted inverse, synthetic
+    board sweep rendered through the flat projection, calibration must
+    reproduce the projection behavior."""
+
+    @staticmethod
+    def _true_flat():
+        poly = np.array([-250.0, 0.0, 1.8e-3, -2.0e-6, 8.0e-9])
+        inv_poly = scaramuzza.fit_inverse_poly(poly, 0.5 * np.hypot(752, 480))
+        return poly, np.concatenate([inv_poly, [376.0, 240.0, 1.0, 0.0, 0.0]])
+
+    def test_round_trip(self):
+        _, flat_true = self._true_flat()
+        objs, imgs = _render_views(_scaramuzza_project_flat,
+                                   jnp.asarray(flat_true), 752, 480,
+                                   depth=0.4, lateral=0.22)
+        params, rms = calibrate_from_board(
+            "SCARAMUZZA", BOARD, objs, imgs, 752, 480)
+        assert rms < 0.5, f"board reprojection RMS {rms:.3f} px"
+        # The calibrated inverse poly must reproduce the true projection
+        # over the incidence-angle range the board sweep actually covers
+        # (beyond it the polynomial extrapolates, as any calibration does).
+        thetas = np.linspace(-1.5, -0.85, 25)  # atan2(-pz, norm) range
+        pts = np.stack([np.cos(thetas), np.zeros_like(thetas),
+                        -np.sin(thetas)], axis=-1)
+        uv_true = np.asarray(_scaramuzza_project_flat(
+            jnp.asarray(flat_true), jnp.asarray(pts)))
+        uv_est = np.asarray(_scaramuzza_project_flat(
+            jnp.asarray(params), jnp.asarray(pts)))
+        err = np.linalg.norm(uv_true - uv_est, axis=-1)
+        assert err.max() < 2.0, f"ray-fan max error {err.max():.2f} px"
+
+    def test_bootstrap_only_recovers_poly(self):
+        poly_true, flat_true = self._true_flat()
+        objs, imgs = _render_views(_scaramuzza_project_flat,
+                                   jnp.asarray(flat_true), 752, 480,
+                                   depth=0.4, lateral=0.22)
+        params, rms = calibrate_from_board(
+            "SCARAMUZZA", BOARD, objs, imgs, 752, 480, refine=False)
+        assert rms < 3.0, f"closed-form bootstrap RMS {rms:.3f} px"

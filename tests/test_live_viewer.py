@@ -126,3 +126,43 @@ class TestVIOSystemLiveArtifacts:
             d = json.load(f)
         assert d["status"] == "INITIALIZING"
         assert d["imu"]["acc"][0][2] == 9.8
+
+
+class TestTLS:
+    """HTTPS parity with the reference dev server (web/server.js:17-60):
+    mobile getUserMedia / Generic Sensor require a secure context, so the
+    viewer must be servable over TLS with a generated self-signed cert."""
+
+    def test_https_round_trip(self, tmp_path):
+        import ssl
+
+        run_dir = tmp_path / "run"
+        run_dir.mkdir()
+        _write_tum(run_dir / "trajectory_pose.txt", 5)
+        cert, key = viewer_server.ensure_self_signed(str(tmp_path / "certs"))
+        srv = viewer_server.make_server(str(run_dir), port=0, tls=True,
+                                        certfile=cert, keyfile=key)
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            deadline = time.time() + 5.0
+            body = None
+            while time.time() < deadline:
+                try:
+                    with urllib.request.urlopen(
+                            f"https://127.0.0.1:{port}/trajectory.json",
+                            timeout=2, context=ctx) as r:
+                        assert r.status == 200
+                        body = r.read()
+                        break
+                except Exception:
+                    time.sleep(0.2)
+            assert body is not None, "TLS server never answered"
+            assert len(json.loads(body)["trajectory"]) == 5
+        finally:
+            srv.shutdown()
+            t.join(timeout=10)

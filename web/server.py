@@ -5,7 +5,13 @@ built from a logs/<ts>/ run directory (re-read on every request, so a
 running VIOSystem can be followed live), and accepts POST /log for remote
 debug logging like the reference's mobile log sink (web/server.js:75).
 
+HTTPS: mobile getUserMedia / Generic Sensor require a secure context, so
+like the reference (web/server.js:17-60) the server prefers TLS — real
+certs if given, a generated self-signed localhost cert otherwise — with
+``--no-tls`` for plain HTTP (e.g. behind a trusted reverse proxy).
+
     python web/server.py --run logs/<ts> [--port 8080] [--map points.npy]
+                         [--cert c.pem --key k.pem | --no-tls]
 """
 
 from __future__ import annotations
@@ -13,6 +19,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import ssl
+import subprocess
 import sys
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -106,16 +114,45 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
 
+def ensure_self_signed(cert_dir: str) -> tuple[str, str]:
+    """Generate (once) and return a self-signed localhost cert/key pair —
+    the reference's fallback path (web/server.js:49-60 ensureCerts)."""
+    cert = os.path.join(cert_dir, "cert.pem")
+    key = os.path.join(cert_dir, "key.pem")
+    if not (os.path.exists(cert) and os.path.exists(key)):
+        os.makedirs(cert_dir, exist_ok=True)
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+             "-keyout", key, "-out", cert, "-days", "365", "-nodes",
+             "-subj", "/CN=localhost"],
+            check=True, capture_output=True)
+    return cert, key
+
+
 def make_server(run_dir: str, port: int = 8080,
                 map_file: str | None = None,
-                data_dir: str | None = None) -> HTTPServer:
+                data_dir: str | None = None,
+                tls: bool = False,
+                certfile: str | None = None,
+                keyfile: str | None = None) -> HTTPServer:
     """Build the viewer HTTPServer (importable for in-process embedding,
-    e.g. the live-viewer tests or a VIOSystem-hosted viewer thread)."""
+    e.g. the live-viewer tests or a VIOSystem-hosted viewer thread).
+    With ``tls`` the socket is TLS-wrapped; certs default to a generated
+    self-signed localhost pair under web/.certs/."""
     global RUN_DIR, MAP_FILE, DATA_DIR
     RUN_DIR = run_dir
     MAP_FILE = map_file
     DATA_DIR = data_dir
-    return HTTPServer(("0.0.0.0", port), Handler)
+    srv = HTTPServer(("0.0.0.0", port), Handler)
+    if tls:
+        if not (certfile and keyfile):
+            certfile, keyfile = ensure_self_signed(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".certs"))
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile, keyfile)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    return srv
 
 
 def main():
@@ -125,9 +162,16 @@ def main():
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--data", default=None,
                     help="replay dataset dir (served for test-replay.html)")
+    ap.add_argument("--cert", default=None, help="TLS certificate (PEM)")
+    ap.add_argument("--key", default=None, help="TLS private key (PEM)")
+    ap.add_argument("--no-tls", action="store_true",
+                    help="serve plain HTTP (mobile camera/IMU need HTTPS)")
     args = ap.parse_args()
-    srv = make_server(args.run, args.port, args.map, args.data)
-    print(f"viewer at http://localhost:{args.port}/  (run dir: {args.run})")
+    srv = make_server(args.run, args.port, args.map, args.data,
+                      tls=not args.no_tls, certfile=args.cert,
+                      keyfile=args.key)
+    scheme = "http" if args.no_tls else "https"
+    print(f"viewer at {scheme}://localhost:{args.port}/  (run dir: {args.run})")
     srv.serve_forever()
 
 

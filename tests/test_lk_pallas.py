@@ -236,3 +236,33 @@ class TestSequentialVmap:
                                        atol=1e-6)
             np.testing.assert_allclose(np.asarray(gy_v[s]), np.asarray(gy_s),
                                        atol=1e-6)
+
+
+class TestPackParity:
+    """ADVICE r3: pin bit-parity between the unpacked (n_pack=1) and
+    ILP-packed (n_pack=4) kernel paths in CI, not just in the on-chip dev
+    probe (scripts/dev_lk_pack_ab.py) — the packed path must be a pure
+    scheduling change, so any masking regression shows as exact-value
+    mismatch here rather than hiding inside a tolerance."""
+
+    def test_track_bit_parity(self, world):
+        _, _, p0, p1, _ = world
+        pts, act = _points()
+        pos1, ok1 = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS, 1)
+        pos4, ok4 = lk_pallas.track_pyramidal(p0, p1, pts, act, PARAMS, 4)
+        assert np.array_equal(np.asarray(ok1), np.asarray(ok4))
+        assert np.array_equal(np.asarray(pos1), np.asarray(pos4))
+
+    def test_extract_and_refine_bit_parity(self, world):
+        img0, img1, _, _, _ = world
+        pts, act = _points()
+        outs = []
+        for pack in (1, 4):
+            tp, gx, gy = lk_pallas._extract_patches(
+                jnp.asarray(img0, jnp.float32), pts, PARAMS.window, pack)
+            r = lk_pallas._refine_template(
+                jnp.asarray(img1, jnp.float32), tp, gx, gy, pts, act,
+                PARAMS.window, 8, 0.01, 4.0, n_pack=pack)
+            outs.append((tp, gx, gy) + tuple(r))
+        for a, b in zip(*outs):
+            assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -13,6 +13,7 @@ the optional chunked mode batches frames into single device programs.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 
@@ -187,4 +188,42 @@ class VIOSystem:
                 "rpe_rot_rmse_deg": rpe.rot_rmse_deg,
                 "poses": poses, "frames": frames, "fps": summary.fps,
             })
+            # Evaluation plots into the run dir — the reference operator
+            # story ends with trajectory + error figures next to the
+            # evaluation (tiny_vins_mono.cpp:9-44 workflow +
+            # scripts/evaluation/compare_trajectories.py). Never let a
+            # headless/backend hiccup kill a finished run.
+            try:
+                self._save_plots(body_p, est_ts_np, gt)
+            except Exception as exc:  # pragma: no cover
+                print(f"[vio] plot generation skipped: {exc}",
+                      file=sys.stderr)
         return summary
+
+    def _save_plots(self, body_p, est_ts, gt) -> None:
+        """trajectory.png (SIM3-aligned vs mocap) + error.png (per-pose
+        translation error over time) in logs/<ts>/."""
+        from mobile_slam_tpu.eval.evaluator import (associate,
+                                                    umeyama_alignment)
+        from mobile_slam_tpu.eval.visualizer import _mpl, plot_trajectory_3d
+
+        ia, ib = associate(est_ts, gt.ts)
+        if len(ia) < 3:
+            return
+        s, R, t = umeyama_alignment(body_p[ia], gt.p[ib])
+        aligned = s * (body_p[ia] @ R.T) + t
+        fig = plot_trajectory_3d(
+            aligned, gt_positions=gt.p[ib],
+            save=os.path.join(self.logger.dir, "trajectory.png"),
+            title="VIO vs ground truth (SIM3-aligned)")
+        plt = _mpl(True)
+        plt.close(fig)
+        err = np.linalg.norm(aligned - gt.p[ib], axis=1)
+        fig2, ax = plt.subplots(figsize=(8, 3))
+        ax.plot(est_ts[ia] - est_ts[ia][0], err, lw=1.0)
+        ax.set_xlabel("t [s]")
+        ax.set_ylabel("translation error [m]")
+        ax.set_title(f"ATE per pose (rmse {np.sqrt(np.mean(err**2)):.3f} m)")
+        fig2.savefig(os.path.join(self.logger.dir, "error.png"), dpi=130,
+                     bbox_inches="tight")
+        plt.close(fig2)

@@ -27,9 +27,16 @@ NUM_SLOTS = WINDOW_SIZE + 1
 O_P, O_R, O_V, O_BA, O_BG = 0, 3, 6, 9, 12
 FRAME_TANGENT = 15
 EX_TANGENT = 6
+# Camera-IMU time offset (td): one scalar calibration state, jointly
+# estimated VINS-Fusion-style (ray_td = ray - td * vel in the projection
+# residual). The reference explicitly LACKS td estimation
+# (docs/analysis-report.md:408-418 missing-features list) — this is a
+# capability beyond parity. Solved dims are the prefix [frames | td];
+# the extrinsic block stays held constant after it.
+TD_TANGENT = 1
 # Full tangent layout used by the solver & marginalization prior:
-# [11 frames x 15] + [extrinsic 6].
-STATE_TANGENT = NUM_SLOTS * FRAME_TANGENT + EX_TANGENT
+# [11 frames x 15] + [td 1] + [extrinsic 6].
+STATE_TANGENT = NUM_SLOTS * FRAME_TANGENT + TD_TANGENT + EX_TANGENT
 
 MODEL_PINHOLE = "PINHOLE"
 MODEL_KANNALA_BRANDT = "KANNALA_BRANDT"
@@ -170,6 +177,37 @@ class EstimatorConfig:
     max_imu_per_interval: int = 64   # IMU readings per camera interval (per slot).
     # Robust loss scale for projection factors (CauchyLoss(1.0), optimizer.cpp:106).
     cauchy_scale: float = 1.0
+    # Online camera-IMU time-offset (td) estimation. When True the solver
+    # estimates a single td state jointly with the window (VINS-Fusion's
+    # ProjectionTdFactor idea: the observation at reported time t was really
+    # taken at t + td, so ray_corrected = ray - td * vel). The reference has
+    # no td estimation (docs/analysis-report.md:408-418). Default OFF
+    # pending the 140 s multiseed A/B gate (ROUND2/3 flip protocol).
+    estimate_td: bool = False
+    td_init: float = 0.0   # seconds; prior belief of the offset
+    td_max: float = 0.08   # hard clamp on |td| (seconds)
+    # td memory model (probed in scripts/dev_td_probe.py /
+    # dev_td_data_probe.py). Full FEJ memory on td (td_prior_forget=1.0)
+    # anchors the offset at its early wrong estimate (measured: 0->3 ms
+    # creep in 3 s against a 10 ms truth, prior td-information ~7e6). And
+    # td rides a near-flat (poses <-> time-shift) valley whenever velocity
+    # is locally constant — the anchor-depth lift absorbs a first-order
+    # time shift — so with no anchor at all the joint solve leaks a
+    # truth-initialized td 9.5 -> 0.5 ms over ~20 slow frames even though
+    # a td-only cost scan still points at the truth. Resolution: td memory
+    # lives in a CONSTANT-strength random-walk prior inside the solver
+    # (H[td,td] += td_rw_info, anchored at the last solved value) rather
+    # than the accumulated marginalization prior; the prior's td column is
+    # cleared each step (forget=0). td_fuse_info optionally adds an outer
+    # observability-gated fusion I_w/(I_w + C); 0 disables (gain 1).
+    td_prior_forget: float = 0.0
+    td_fuse_info: float = 3.0e6
+    # Excitation gate knee: mean per-obs td curvature (whitened/s)^2
+    # below which td updates are quadratically suppressed. Measured on
+    # the synthetic figure run: constant-velocity stretches sit at
+    # ~1e3-8e3, excited stretches at ~1e4-3e4 (dev_td_probe.py).
+    td_gate_curv: float = 1.0e4
+    td_rw_info: float = 0.0  # legacy joint-solve anchor; inert (TD_JOINT_GATE=0)
 
     @property
     def gravity(self) -> np.ndarray:
@@ -303,6 +341,8 @@ def load_config(path: str) -> VIOConfig:
         gyr_n=float(raw.get("gyr_n", 0.004)),
         gyr_w=float(raw.get("gyr_w", 2.0e-6)),
         g_norm=float(raw.get("g_norm", 9.81007)),
+        estimate_td=bool(raw.get("estimate_td", 0)),
+        td_init=float(raw.get("td", 0.0)),
     )
 
     return VIOConfig(

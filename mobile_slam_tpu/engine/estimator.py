@@ -36,7 +36,7 @@ from mobile_slam_tpu.models.state import (
     init_feature_table,
     init_window,
 )
-from mobile_slam_tpu.solver import lm
+from mobile_slam_tpu.solver import layout, lm
 from mobile_slam_tpu.solver.assembly import Prior, SolverParams, XState, zero_prior
 from mobile_slam_tpu.utils import rotations as rot
 
@@ -51,6 +51,10 @@ class EstimatorState(NamedTuple):
     prev_gyr: jax.Array     # (3,)
     frame_count: jax.Array  # () int32, < W during INITIAL, == W-1-slot use
     first_imu_seen: jax.Array  # () bool
+    # Camera-IMU time offset estimate (seconds). Solved jointly when
+    # estimate_td is on (beyond the reference, which has no td state;
+    # docs/analysis-report.md:408-418); otherwise frozen at td_init.
+    td: jax.Array           # ()
 
 
 class FrameInput(NamedTuple):
@@ -84,6 +88,11 @@ class StepDiag(NamedTuple):
     # of scale divergence: deeper scene -> larger apparent motion -> new
     # landmarks seeded deeper; observed to reach 100x silently).
     med_depth: jax.Array
+    # Fresh-window td information + the gated-fusion gain applied this step
+    # (zeros when estimate_td is off): observability telemetry for the
+    # camera-IMU time-offset state.
+    td_info: jax.Array
+    td_gain: jax.Array
 
 
 class StaticParams(NamedTuple):
@@ -99,6 +108,12 @@ class StaticParams(NamedTuple):
     init_depth: jax.Array       # ()
     min_parallax_norm: jax.Array  # () min_parallax / focal
     noise: jax.Array            # (18, 18) IMU noise covariance
+    td_enable: jax.Array        # () 0/1: estimate camera-IMU time offset
+    td_max: jax.Array           # () clamp on |td| (seconds)
+    td_forget: jax.Array        # () prior-memory forgetting factor on td
+    td_fuse_info: jax.Array     # () gated-fusion information constant
+    td_gate_curv: jax.Array     # () per-obs curvature knee of the gate
+    td_rw_info: jax.Array       # () in-solver random-walk anchor strength
 
 
 def make_params(cfg: VIOConfig, dtype=jnp.float32) -> StaticParams:
@@ -114,6 +129,12 @@ def make_params(cfg: VIOConfig, dtype=jnp.float32) -> StaticParams:
         min_parallax_norm=jnp.asarray(est.min_parallax / cam.focal_length, dtype),
         noise=pre.make_noise_cov(est.acc_n, est.gyr_n, est.acc_w, est.gyr_w,
                                  dtype),
+        td_enable=jnp.asarray(1.0 if est.estimate_td else 0.0, dtype),
+        td_max=jnp.asarray(est.td_max, dtype),
+        td_forget=jnp.asarray(est.td_prior_forget, dtype),
+        td_fuse_info=jnp.asarray(est.td_fuse_info, dtype),
+        td_gate_curv=jnp.asarray(est.td_gate_curv, dtype),
+        td_rw_info=jnp.asarray(est.td_rw_info, dtype),
     )
 
 
@@ -123,6 +144,9 @@ def solver_params(p: StaticParams) -> SolverParams:
         sqrt_info_proj=p.sqrt_info_proj,
         cauchy_scale=p.cauchy_scale,
         init_depth=p.init_depth,
+        td_enable=p.td_enable,
+        td_max=p.td_max,
+        td_rw_info=p.td_rw_info,
     )
 
 
@@ -131,12 +155,14 @@ def init_state(cfg: VIOConfig, params: StaticParams,
     """clearState() parity (estimator.cpp:36-63)."""
     window = init_window(cfg.estimator.max_imu_per_interval, dtype)
     table = init_feature_table(cfg.estimator.max_features, dtype)
-    prior = zero_prior(params.ex_t, params.ex_q, dtype)
+    td0 = cfg.estimator.td_init
+    prior = zero_prior(params.ex_t, params.ex_q, dtype, td=td0)
     return EstimatorState(
         window=window, table=table, prior=prior,
         prev_acc=jnp.zeros(3, dtype), prev_gyr=jnp.zeros(3, dtype),
         frame_count=jnp.asarray(0, jnp.int32),
         first_imu_seen=jnp.asarray(False),
+        td=jnp.asarray(td0, dtype),
     )
 
 
@@ -359,14 +385,42 @@ def solve_and_slide(
     (vio_system.cpp:248-295)."""
     w = state.window
     table = ft.triangulate(state.table, w.p, w.q, params.ex_t, params.ex_q,
-                           params.init_depth)
+                           params.init_depth, td=state.td)
     sp = solver_params(params)
     w, table, res, culled_ids = lm.optimize(
-        w, table, state.prior, params.ex_t, params.ex_q, sp, num_iterations
+        w, table, state.prior, params.ex_t, params.ex_q, sp, num_iterations,
+        td0=state.td,
     )
 
+    # Observability-gated td fusion: the solve measures td from the window
+    # alone (the prior's td column is cleared below), and the estimate
+    # moves by gain I_w / (I_w + C). Under locally-constant velocity the
+    # window's td information I_w collapses (the anchor-depth lift absorbs
+    # a first-order time shift; scripts/dev_td_data_probe.py) and an
+    # ungated joint estimate drifts to zero even from a truth init
+    # (scripts/dev_td_probe.py --init 10) — the gate holds td through
+    # those stretches and converges fast under excitation.
+    i_w = jnp.maximum(res.td_info, 0.0)
+    # Excitation gate: mean per-observation td curvature i_w / wsum scales
+    # with (whitened feature speed)^2. Below the knee (td_gate_curv) the
+    # time-offset direction is indistinguishable from along-track pose
+    # drift and the scalar estimate drains toward the pose-absorbed value
+    # (dev_td_probe.py), so updates are quadratically suppressed; above it
+    # the gate saturates to 1 and convergence runs at the fusion gain.
+    curv = i_w / jnp.maximum(res.td_wsum, 1.0)
+    sgate = curv / jnp.maximum(params.td_gate_curv, 1e-6)
+    gate = sgate * sgate / (1.0 + sgate * sgate)
+    gain = gate * jnp.where(i_w + params.td_fuse_info > 0,
+                            i_w / (i_w + params.td_fuse_info), 0.0)
+    td_fused = jnp.where(
+        params.td_enable > 0,
+        jnp.clip(state.td + gain * res.td_innov,
+                 -params.td_max, params.td_max),
+        state.td)
+
     # Marginalization at the post-gauge-fix state.
-    x_post = XState(p=w.p, q=w.q, v=w.v, ba=w.ba, bg=w.bg, lam=res.x.lam)
+    x_post = XState(p=w.p, q=w.q, v=w.v, ba=w.ba, bg=w.bg, lam=res.x.lam,
+                    td=td_fused)
     imu_sqrt_info = sqrt_info_from_cov(w.pre.cov[1:])
 
     prior = jax.lax.cond(
@@ -380,6 +434,14 @@ def solve_and_slide(
         ),
         None,
     )
+    # Bounded prior memory on the td calibration state: full FEJ memory
+    # anchors td at its early (wrong) linearization (see
+    # config.EstimatorConfig.td_prior_forget and scripts/dev_td_probe.py);
+    # scaling the prior's td column after each marginalization keeps an
+    # effective ~1/(1-gamma^2)-frame memory. No-op when td is disabled
+    # (the column is identically zero then).
+    prior = prior._replace(
+        J0=prior.J0.at[:, layout.TD_COL].multiply(params.td_forget))
 
     r0_wc, t0_wc = _cam_pose(w.p[0], w.q[0], params.ex_t, params.ex_q)
     r1_wc, t1_wc = _cam_pose(w.p[1], w.q[1], params.ex_t, params.ex_q)
@@ -388,7 +450,7 @@ def solve_and_slide(
         return (
             _slide_window_old(w, state.prev_acc, state.prev_gyr),
             ft.slide_old(table, True, r0_wc, t0_wc, r1_wc, t1_wc,
-                         params.init_depth),
+                         params.init_depth, td=td_fused),
         )
 
     def slide_general(_):
@@ -425,8 +487,11 @@ def solve_and_slide(
         state_finite=jnp.all(jnp.isfinite(w.p)) & jnp.all(jnp.isfinite(w.v))
         & jnp.all(jnp.isfinite(w.q)),
         med_depth=med_depth,
+        td_info=res.td_info,
+        td_gain=gain * params.td_enable,
     )
-    new_state = state._replace(window=w2, table=table2, prior=prior)
+    new_state = state._replace(window=w2, table=table2, prior=prior,
+                               td=td_fused)
     return new_state, w.p[W - 1], w.q[W - 1], diag
 
 
@@ -551,7 +616,7 @@ def initial_advance_or_slide(
             return (
                 _slide_window_old(w, state.prev_acc, state.prev_gyr),
                 ft.slide_old(state.table, False, r0_wc, t0_wc, r1_wc, t1_wc,
-                             params.init_depth),
+                             params.init_depth, td=state.td),
             )
 
         def gen_slide(_):

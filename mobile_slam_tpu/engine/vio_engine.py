@@ -321,8 +321,12 @@ class VIOEngine:
 
     def _rebuild_estimator(self) -> None:
         """Estimator rebuild on failure (vio_engine.cpp:188-207): tracker
-        state survives, estimator restarts initialization."""
+        state survives, estimator restarts initialization. The learned
+        camera-IMU time offset td survives the rebuild too — it is a
+        calibration constant, not trajectory state."""
+        old_td = self.state.td
         self.state = est.init_state(self.cfg, self.params, self.dtype)
+        self.state = self.state._replace(td=old_td)
         self._pending = []  # in-flight pipelined frames used the old state
         self._depth_ema = None
         self._vel_ema = 0.05

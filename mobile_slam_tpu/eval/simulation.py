@@ -165,6 +165,12 @@ class SimConfig:
     pixel_noise: float = 0.0
     g_norm: float = 9.81007
     seed: int = 0
+    # Camera-IMU time offset (seconds): observations are SAMPLED from the
+    # pose at cam_ts + offset but REPORTED at cam_ts (what a real rolling
+    # pipeline does). Quantized to imu_rate steps. Ground-truth poses stay
+    # at the reported stamps, so an estimator without td correction sees a
+    # systematic reprojection bias.
+    cam_time_offset: float = 0.0
 
 
 @dataclasses.dataclass
@@ -202,8 +208,14 @@ def simulate(cfg: SimConfig, camera, r_ic: np.ndarray, t_ic: np.ndarray) -> SimD
 
     R_wb = _quat_to_rot_np(traj.q[cam_idx])       # (Nf,3,3)
     p_wb = traj.p[cam_idx]
-    R_wc = R_wb @ r_ic[None]
-    t_wc = p_wb + np.einsum("nij,j->ni", R_wb, t_ic)
+    # Observation poses: shifted by the camera-IMU time offset (reported
+    # stamps stay cam_ts; see SimConfig.cam_time_offset).
+    shift = int(round(cfg.cam_time_offset * cfg.imu_rate))
+    obs_idx = np.clip(cam_idx + shift, 0, len(traj.ts) - 1)
+    R_wb_o = _quat_to_rot_np(traj.q[obs_idx])
+    p_wb_o = traj.p[obs_idx]
+    R_wc = R_wb_o @ r_ic[None]
+    t_wc = p_wb_o + np.einsum("nij,j->ni", R_wb_o, t_ic)
 
     # Project all landmarks into all frames (host, float64).
     pts_c = np.einsum("nji,lnj->lni", R_wc,

@@ -35,16 +35,16 @@ S = layout.S
 EIG_EPS = 1e-8       # reference's absolute threshold (marginalization_factor.h:77)
 REL_EIG_EPS = 1e-4   # relative threshold after equilibration (float32-safe)
 
-# The prior's support is invariantly {poses 0..9, speedbias 0, extrinsic}
-# (75 tangent dims): after marg-old the kept blocks are the shifted
-# {pose1..10, sb1, ex} (only sb1 couples through the dropped IMU factor,
-# optimizer.cpp:317-332), and marg-new only shrinks that set. Restricting
-# the eigen-factorization to this static subspace cuts the TPU cost of the
-# per-frame eigendecomposition ~8x vs the full 171-dim tangent.
+# The prior's support is invariantly {poses 0..9, speedbias 0, td,
+# extrinsic} (76 tangent dims): after marg-old the kept blocks are the
+# shifted {pose1..10, sb1, td, ex} (only sb1 couples through the dropped
+# IMU factor, optimizer.cpp:317-332), and marg-new only shrinks that set.
+# Restricting the eigen-factorization to this static subspace cuts the TPU
+# cost of the per-frame eigendecomposition ~8x vs the full 172-dim tangent.
 _SUPPORT = np.concatenate([
     np.arange(0, layout.pose_col(W - 1)),                    # poses 0..9
     np.arange(layout.sb_col(0), layout.sb_col(0) + 9),       # speedbias 0
-    np.arange(layout.EX_COL, S),                             # extrinsic
+    np.arange(layout.TD_COL, S),                             # td + extrinsic
 ]).astype(np.int32)
 
 _PERM = {}
@@ -257,7 +257,7 @@ def _permuted_linearization(kind: str, x: XState, ex_t, ex_q) -> dict:
     sl = jnp.asarray(sl)
     return dict(
         p0=x.p[sl], q0=x.q[sl], v0=x.v[sl], ba0=x.ba[sl], bg0=x.bg[sl],
-        ex_t0=ex_t, ex_q0=ex_q,
+        ex_t0=ex_t, ex_q0=ex_q, td0=x.td,
     )
 
 
@@ -290,7 +290,7 @@ def marginalize_old(
         eqs = assembly.build_normal_eqs(
             x, table, window.pre, imu_sqrt_info, imu_valid, prior,
             jnp.zeros((S, S), dtype), ex_t, ex_q, params, proj_valid,
-            use_prior=False,
+            use_prior=False, include_td_rw=False,
         )
         H_f, g_f = _eliminate_lambdas(eqs.H_ss, eqs.g_s, eqs.H_sl, eqs.H_ll,
                                       eqs.g_l, drop_lam)
@@ -313,7 +313,7 @@ def marginalize_old(
     prior_H0 = prior.J0.T @ prior.J0
     eqs = assembly.build_normal_eqs(
         x, table, window.pre, imu_sqrt_info, imu_valid, prior, prior_H0,
-        ex_t, ex_q, params, proj_valid,
+        ex_t, ex_q, params, proj_valid, include_td_rw=False,
     )
 
     H, g = _eliminate_lambdas(eqs.H_ss, eqs.g_s, eqs.H_sl, eqs.H_ll,

@@ -27,8 +27,23 @@ def residual(
     p_j: jax.Array, q_j: jax.Array,   # target body pose
     t_ic: jax.Array, q_ic: jax.Array, # camera-to-IMU extrinsics
     sqrt_info: jax.Array,             # () scalar focal/1.5
+    vel_i: jax.Array | None = None,   # (..., 2) anchor normalized-plane velocity
+    vel_j: jax.Array | None = None,   # (..., 2) target normalized-plane velocity
+    td: jax.Array | None = None,      # () camera-IMU time offset (seconds)
 ) -> jax.Array:
-    """2-d whitened reprojection residual (projection_factor.cpp:24-34)."""
+    """2-d whitened reprojection residual (projection_factor.cpp:24-34).
+
+    With (vel_i, vel_j, td) given, observations are corrected for the
+    camera-IMU time offset before projection (VINS-Fusion ProjectionTdFactor
+    idea): the feature reported at image time t was really sampled at
+    t + td, so its position at the IMU-aligned time is ray - td * vel.
+    The reference lacks td estimation entirely
+    (docs/analysis-report.md:408-418)."""
+    if td is not None:
+        ray_i = ray_i - td * jnp.concatenate(
+            [vel_i, jnp.zeros_like(vel_i[..., :1])], axis=-1)
+        ray_j = ray_j - td * jnp.concatenate(
+            [vel_j, jnp.zeros_like(vel_j[..., :1])], axis=-1)
     pts_cam_i = ray_i / inv_dep[..., None]
     pts_imu_i = rot.quat_rotate(q_ic, pts_cam_i) + t_ic
     pts_w = rot.quat_rotate(q_i, pts_imu_i) + p_i

@@ -146,9 +146,16 @@ def triangulate(
     ex_t: jax.Array, ex_q: jax.Array,
     init_depth: jax.Array,
     window_size: int = W - 1,
+    td: jax.Array | float = 0.0,
 ) -> FeatureTable:
     """Multi-view DLT for eligible features without a depth
-    (triangulateAcrossAllViews, feature_manager.cpp:142-196)."""
+    (triangulateAcrossAllViews, feature_manager.cpp:142-196).
+
+    ``td``: camera-IMU time offset — observations are corrected
+    (ray - td*vel) before the DLT, matching the projection factor's model
+    (factors/projection.py). Without this, freshly-seeded depths are
+    consistent with td=0 and continuously bias the decoupled td update
+    toward zero (measured in scripts/dev_td_probe.py)."""
     dtype = p.dtype
     elig = (
         (table.fid >= 0) & (table.used_num >= 2)
@@ -170,7 +177,8 @@ def triangulate(
     P_t = -jnp.einsum("fwij,fwj->fwi", P_rot, t_rel)             # (F,11,3)
     P = jnp.concatenate([P_rot, P_t[..., None]], axis=-1)        # (F,11,3,4)
 
-    f = table.obs / jnp.linalg.norm(table.obs, axis=-1, keepdims=True).clip(1e-9)
+    obs_c = table.obs.at[..., :2].add(-jnp.asarray(td, dtype) * table.vel)
+    f = obs_c / jnp.linalg.norm(obs_c, axis=-1, keepdims=True).clip(1e-9)
     row0 = f[..., 0:1] * P[..., 2, :] - f[..., 2:3] * P[..., 0, :]  # (F,11,4)
     row1 = f[..., 1:2] * P[..., 2, :] - f[..., 2:3] * P[..., 1, :]
     m = table.mask.astype(dtype)[..., None]
@@ -239,11 +247,14 @@ def slide_old(
     marg_R_wc: jax.Array, marg_t_wc: jax.Array,  # old frame-0 camera pose
     new_R_wc: jax.Array, new_t_wc: jax.Array,    # new frame-0 camera pose
     init_depth: jax.Array,
+    td: jax.Array | float = 0.0,
 ) -> FeatureTable:
     """Marginalize-old slide: removeBackShiftDepth (NON_LINEAR,
     feature_manager.cpp:208-233) / removeBack (INITIAL, :236-246)."""
     anchored = (table.fid >= 0) & (table.start == 0)
-    ray0 = table.obs[:, 0]                                   # (F,3) old anchor obs
+    # td-corrected anchor observation (see triangulate docstring).
+    ray0 = table.obs[:, 0].at[..., :2].add(
+        -jnp.asarray(td, table.obs.dtype) * table.vel[:, 0])  # (F,3)
     old_depth = table.depth
 
     new_obs = _shift_left(table.obs)

@@ -1,30 +1,36 @@
 """Tangent-space layout for the sliding-window solver.
 
-Full state tangent vector (S = 171):
+Full state tangent vector (S = 172):
     [ pose blocks: 11 x 6  (δp, δθ)        -> cols   0..65  ]
     [ speed/bias blocks: 11 x 9 (δv,δba,δbg) -> cols 66..164 ]
-    [ extrinsic block: 6  (δt_ic, δθ_ic)    -> cols 165..170 ]
+    [ time-offset block: 1 (δtd)            -> col   165     ]
+    [ extrinsic block: 6  (δt_ic, δθ_ic)    -> cols 166..171 ]
 
 Grouping all pose blocks first keeps the projection-factor Jacobians inside
 one contiguous 66-column band, which makes the landmark Schur complement a
 pure reshape/einsum (no scatters). The per-frame (pose 7 / speedbias 9)
 block split mirrors the reference parameterization
-(include/backend/optimizer.h:70-73, SIZE_POSE/SIZE_SPEEDANDBIAS).
+(include/backend/optimizer.h:70-73, SIZE_POSE/SIZE_SPEEDANDBIAS). The td
+column sits BETWEEN the frame states and the extrinsic so the solved
+dimensions stay one contiguous prefix [0, EX_COL) (lm.py holds the
+extrinsic constant like the reference's SetParameterBlockConstant).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from mobile_slam_tpu.config import EX_TANGENT, FRAME_TANGENT, NUM_SLOTS, STATE_TANGENT
+from mobile_slam_tpu.config import (EX_TANGENT, FRAME_TANGENT, NUM_SLOTS,
+                                    STATE_TANGENT, TD_TANGENT)
 
 W = NUM_SLOTS            # 11
 POSE_DIM = 6
 SB_DIM = 9
 POSE_COLS = W * POSE_DIM      # 66
 SB_BASE = POSE_COLS           # 66
-EX_COL = POSE_COLS + W * SB_DIM  # 165
-S = STATE_TANGENT             # 171
+TD_COL = POSE_COLS + W * SB_DIM  # 165
+EX_COL = TD_COL + TD_TANGENT     # 166
+S = STATE_TANGENT             # 172
 assert S == EX_COL + EX_TANGENT
 assert FRAME_TANGENT == POSE_DIM + SB_DIM
 
@@ -67,8 +73,8 @@ def shift_permutation(kind: str, dtype=np.float32) -> np.ndarray:
                  empty. (marginalizeOldKeyframe)
     kind='new':  frames 0..8 identity, old frame 9 dropped, old frame 10 -> 9;
                  new frame 10 empty. (marginalizeNewGeneralFrame)
-    Extrinsic block identity in both. new_vec = P @ old_vec; for matrices
-    H_new = P H P^T.
+    td + extrinsic blocks identity in both. new_vec = P @ old_vec; for
+    matrices H_new = P H P^T.
     """
     P = np.zeros((S, S), dtype=dtype)
     if kind == "old":
@@ -83,5 +89,5 @@ def shift_permutation(kind: str, dtype=np.float32) -> np.ndarray:
           pose_col(old_i):pose_col(old_i) + 6] = np.eye(6)
         P[sb_col(new_i):sb_col(new_i) + 9,
           sb_col(old_i):sb_col(old_i) + 9] = np.eye(9)
-    P[EX_COL:, EX_COL:] = np.eye(EX_TANGENT)
+    P[TD_COL:, TD_COL:] = np.eye(TD_TANGENT + EX_TANGENT)
     return P

@@ -36,8 +36,11 @@ from mobile_slam_tpu.utils import rotations as rot
 
 W = NUM_SLOTS
 S = layout.S
-NSOLVE = layout.EX_COL  # 165 solved dims (extrinsic held constant,
-                        # optimizer.cpp:73 SetParameterBlockConstant)
+NSOLVE = layout.EX_COL  # 166 solved dims: 165 frame dims + td (extrinsic
+                        # held constant, optimizer.cpp:73
+                        # SetParameterBlockConstant; the td column's
+                        # Jacobian is gated by SolverParams.td_enable so
+                        # td stays frozen unless estimate_td is on)
 # Mean whitened reprojection error (units of 1.5px) above which a landmark
 # is culled after the solve: 2.0 ≈ 3 pixels.
 OUTLIER_REPROJ_WHITENED = 2.0
@@ -86,12 +89,19 @@ class SolveResult(NamedTuple):
     cost0: jax.Array
     cost: jax.Array
     accepted: jax.Array  # number of accepted LM steps
+    # td observability (GN curvature of the projection cost w.r.t. td at
+    # the solved state) and the gated scalar innovation -g/h — computed in
+    # optimize() AFTER the joint solve, which holds td constant (see
+    # assembly.td_grad_hess for why td is not a joint dimension).
+    td_info: jax.Array
+    td_innov: jax.Array
+    td_wsum: jax.Array  # total robust weight (≈ #valid obs) behind td_info
 
 
 def _retract(x: XState, dx: jax.Array, dlam: jax.Array,
              lam_mask: jax.Array) -> XState:
     dpose = dx[0:layout.POSE_COLS].reshape(W, 6)
-    dsb = dx[layout.POSE_COLS:NSOLVE].reshape(W, 9)
+    dsb = dx[layout.POSE_COLS:layout.TD_COL].reshape(W, 9)
     return XState(
         p=x.p + dpose[:, 0:3],
         q=rot.quat_boxplus(x.q, dpose[:, 3:6]),
@@ -99,6 +109,7 @@ def _retract(x: XState, dx: jax.Array, dlam: jax.Array,
         ba=x.ba + dsb[:, 3:6],
         bg=x.bg + dsb[:, 6:9],
         lam=x.lam + jnp.where(lam_mask, dlam, 0.0),
+        td=x.td + dx[layout.TD_COL],
     )
 
 
@@ -251,7 +262,10 @@ def solve(
         _, _, (x, cost, _, n_acc) = jax.lax.while_loop(
             cond_w, body_w, (jnp.asarray(0, jnp.int32),
                              jnp.asarray(False), init))
-    return SolveResult(x=x, cost0=cost0, cost=cost, accepted=n_acc)
+    return SolveResult(x=x, cost0=cost0, cost=cost, accepted=n_acc,
+                       td_info=jnp.zeros((), dtype),
+                       td_innov=jnp.zeros((), dtype),
+                       td_wsum=jnp.zeros((), dtype))
 
 
 def apply_gauge_fix(x: XState, p0_old: jax.Array, q0_old: jax.Array) -> XState:
@@ -273,7 +287,8 @@ def apply_gauge_fix(x: XState, p0_old: jax.Array, q0_old: jax.Array) -> XState:
     p_fixed = (x.p - x.p[0:1]) @ rot_diff.T + p0_old
     q_fixed = rot.quat_normalize(rot.quat_mul(q_diff[None, :], x.q))
     v_fixed = x.v @ rot_diff.T
-    return XState(p=p_fixed, q=q_fixed, v=v_fixed, ba=x.ba, bg=x.bg, lam=x.lam)
+    return XState(p=p_fixed, q=q_fixed, v=v_fixed, ba=x.ba, bg=x.bg,
+                  lam=x.lam, td=x.td)
 
 
 def optimize(
@@ -284,14 +299,21 @@ def optimize(
     ex_q: jax.Array,
     params: SolverParams,
     num_iterations: int,
+    td0: jax.Array | float = 0.0,
 ) -> tuple[WindowState, FeatureTable, SolveResult]:
     """Full Optimizer::optimize equivalent (minus marginalization, which the
-    caller runs next): solve, NaN rollback, gauge fix, write back depths."""
+    caller runs next): solve, NaN rollback, gauge fix, write back depths.
+    ``td0`` is the current camera-IMU time-offset estimate; the joint solve
+    holds it constant, and a scalar GN step on the projection cost computes
+    the td innovation afterwards (assembly.td_grad_hess) — returned in
+    SolveResult.td_innov with its curvature in td_info for the estimator's
+    observability-gated fusion."""
     elig = eligible_mask(table)
     safe_depth = jnp.where(table.depth > 0, table.depth, params.init_depth)
     lam0 = jnp.where(elig, 1.0 / safe_depth, 1.0)
+    dtype = window.p.dtype
     x0 = XState(p=window.p, q=window.q, v=window.v, ba=window.ba,
-                bg=window.bg, lam=lam0)
+                bg=window.bg, lam=lam0, td=jnp.asarray(td0, dtype))
 
     res = solve(x0, table, window, prior, ex_t, ex_q, params, num_iterations)
 
@@ -300,10 +322,25 @@ def optimize(
         jnp.all(jnp.isfinite(res.x.p)), jnp.all(jnp.isfinite(res.x.q)),
         jnp.all(jnp.isfinite(res.x.v)), jnp.all(jnp.isfinite(res.x.ba)),
         jnp.all(jnp.isfinite(res.x.bg)), jnp.all(jnp.isfinite(res.x.lam)),
+        jnp.isfinite(res.x.td),
     ]))
     x = jax.tree.map(lambda a, b: jnp.where(finite, a, b), res.x, x0)
+    # Gate + clamp td: frozen at td0 when disabled, bounded when enabled
+    # (a runaway td would silently warp every observation).
+    td = jnp.where(params.td_enable > 0,
+                   jnp.clip(x.td, -params.td_max, params.td_max), x0.td)
+    x = x._replace(td=td)
 
     x = apply_gauge_fix(x, window.p[0], window.q[0])
+
+    # Decoupled scalar td update at the solved state (see td_grad_hess).
+    proj_valid_td = assembly.proj_valid_mask(table)
+    g_td, h_td, wsum_td = assembly.td_grad_hess(x, table, ex_t, ex_q, params,
+                                                proj_valid_td)
+    innov = jnp.where(h_td > 0, -g_td / jnp.maximum(h_td, 1e-6), 0.0)
+    innov = jnp.where(jnp.isfinite(innov), innov, 0.0)
+    res = res._replace(td_info=h_td, td_innov=innov * params.td_enable,
+                       td_wsum=wsum_td)
 
     window = window._replace(p=x.p, q=x.q, v=x.v, ba=x.ba, bg=x.bg)
 
@@ -323,11 +360,13 @@ def optimize(
     proj_valid = assembly.proj_valid_mask(table)
     start = jnp.clip(table.start, 0, W - 1)
     ray_a = jnp.take_along_axis(table.obs, start[:, None, None], axis=1)[:, 0]
+    vel_a = jnp.take_along_axis(table.vel, start[:, None, None], axis=1)[:, 0]
     r_p = proj_mod.residual(
         ray_a[:, None, :], table.obs, x.lam[:, None],
         x.p[start][:, None, :], x.q[start][:, None, :],
         x.p[None, :, :], x.q[None, :, :],
         ex_t, ex_q, params.sqrt_info_proj,
+        vel_i=vel_a[:, None, :], vel_j=table.vel, td=x.td,
     )
     err = jnp.linalg.norm(r_p, axis=-1) * proj_valid  # whitened (px/1.5)
     n_obs = jnp.maximum(jnp.sum(proj_valid, axis=1), 1)

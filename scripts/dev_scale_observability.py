@@ -148,6 +148,7 @@ def main():
             v=wdw.v.astype(jnp.float64), ba=wdw.ba.astype(jnp.float64),
             bg=wdw.bg.astype(jnp.float64),
             lam=jnp.where(elig, 1.0 / safe_depth, 1.0).astype(jnp.float64),
+            td=jnp.asarray(0.0, jnp.float64),
         )
         x0 = jax.tree.map(lambda a: a.astype(jnp.float64), x0)
         pre64 = jax.tree.map(lambda a: a.astype(jnp.float64)

@@ -209,7 +209,7 @@ def main():
     safe_depth = jnp.where(table.depth > 0, table.depth, pp.init_depth)
     lam0 = jnp.where(elig, 1.0 / safe_depth, 1.0)
     x0 = assembly.XState(p=wdw.p, q=wdw.q, v=wdw.v, ba=wdw.ba, bg=wdw.bg,
-                         lam=lam0)
+                         lam=lam0, td=jnp.zeros((), wdw.p.dtype))
     imu_sqrt_info = jax.jit(sqrt_info_from_cov)(wdw.pre.cov[1:])
     imu_valid = (wdw.pre.sum_dt[1:] < 10.0) & (wdw.imu_cnt[1:] > 0)
     proj_valid = jax.jit(assembly.proj_valid_mask)(table)

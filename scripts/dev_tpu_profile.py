@@ -55,9 +55,9 @@ def time_chunk(cfg, label, chunk_len=32, reps=6, body="full"):
             table = ft.triangulate(state2.table, w.p, w.q, params.ex_t,
                                    params.ex_q, params.init_depth)
             sp = est.solver_params(params)
-            w, table, res = lm.optimize(w, table, state2.prior, params.ex_t,
-                                        params.ex_q, sp,
-                                        cfg.estimator.num_iterations)
+            w, table, res, _ = lm.optimize(w, table, state2.prior,
+                                           params.ex_t, params.ex_q, sp,
+                                           cfg.estimator.num_iterations)
             w2 = est._slide_window_old(w, state2.prev_acc, state2.prev_gyr)
             t2 = ft.slide_old(table, True, jnp.eye(3), jnp.zeros(3),
                               jnp.eye(3), jnp.zeros(3), params.init_depth)

@@ -64,7 +64,8 @@ def _setup(seed=0):
     state = state._replace(table=table)
     w = state.window
     x = XState(p=w.p, q=w.q, v=w.v, ba=w.ba, bg=w.bg,
-               lam=jnp.ones(n, jnp.float64) / 5.0)
+               lam=jnp.ones(n, jnp.float64) / 5.0,
+               td=jnp.asarray(0.0, jnp.float64))
     sqrt_i = sqrt_info_from_cov(w.pre.cov[1:])
     sp = est.solver_params(params)
     return state, x, sqrt_i, sp, params, rng

@@ -414,6 +414,15 @@ def run_adversarial_bench():
     from mobile_slam_tpu.eval import adversarial as adv
 
     cfg = make_cfg()
+    use_td = "--adv-td" in sys.argv
+    if use_td:
+        # Online camera-IMU time-offset estimation (beyond the reference;
+        # docs/analysis-report.md:408-418 lists td as missing there). The
+        # level-2+ nuisance set injects a real +2 ms offset, so this arm
+        # measures the td estimator against the nuisance it targets.
+        import dataclasses as _dc
+        cfg = _dc.replace(
+            cfg, estimator=_dc.replace(cfg.estimator, estimate_td=True))
     levels = sorted(int(s) for s in next(
         (a.split("=")[1] for a in sys.argv
          if a.startswith("--adv-levels=")), "0,1,2,3").split(","))
@@ -471,7 +480,8 @@ def run_adversarial_bench():
                   f"{n_rec} recoveries", file=sys.stderr)
     print(json.dumps({
         "metric": "adversarial ATE degradation curve (oracle renderer)",
-        "unit": "m", "duration_s": duration, "arms": results,
+        "unit": "m", "duration_s": duration, "estimate_td": use_td,
+        "arms": results,
     }))
 
 

@@ -189,6 +189,11 @@ class ChunkedImageServer:
         eng.tracker_state = self._carry.tracker_state
         eng._banned_ids = self._carry.banned_ids
         eng._key = self._carry.key
+        # eng.state still points at the PRE-chunk state whose buffers were
+        # donated to the first chunk step — refresh it from the live carry
+        # (the last step's output, valid until donated again) so the
+        # rebuild can read the learned td off a real buffer.
+        eng.state = self._carry.est_state
         eng._rebuild_estimator()
         eng._consecutive_failures = 0
         eng._cooldown_remaining = 0

@@ -324,9 +324,19 @@ class VIOEngine:
         state survives, estimator restarts initialization. The learned
         camera-IMU time offset td survives the rebuild too — it is a
         calibration constant, not trajectory state."""
-        old_td = self.state.td
+        # Host-fetch td BEFORE discarding the state: if the state arrays
+        # were donated away (the chunked serving path donates its carry,
+        # engine/chunked.py donate_argnums=(0,)), the read raises on TPU
+        # (donation is a no-op on CPU, so only the chip sees this) and the
+        # learned offset is simply lost for this rebuild — never poison the
+        # fresh state with a dead buffer.
+        try:
+            old_td = float(self.state.td)
+        except Exception:
+            old_td = float(self.cfg.estimator.td_init)
         self.state = est.init_state(self.cfg, self.params, self.dtype)
-        self.state = self.state._replace(td=old_td)
+        self.state = self.state._replace(
+            td=jnp.asarray(old_td, self.dtype))
         self._pending = []  # in-flight pipelined frames used the old state
         self._depth_ema = None
         self._vel_ema = 0.05

@@ -110,6 +110,27 @@ def main() -> int:
           and np.median(rerr) < 0.15,
           f"(n={rok.sum()}, median={np.median(rerr):.4f} px)")
 
+    # --- donated-state rebuild (serving recovery) on real silicon ------
+    # Donation is a no-op on CPU, so only this tier executes the failure
+    # mode fixed in vio_engine._rebuild_estimator / serving._recover: the
+    # chunked step donates its carry (engine/chunked.py donate_argnums)
+    # and the td-preserving rebuild then read state.td off a dead buffer
+    # (INVALID_ARGUMENT at the next host read, adversarial level 1).
+    from tests.test_serving_recovery import donate_away, small_cfg
+    from mobile_slam_tpu.engine.vio_engine import VIOEngine
+
+    eng = VIOEngine(small_cfg(), jnp.float32)
+    eng.state = eng.state._replace(td=jnp.asarray(0.0123, jnp.float32))
+    _ = donate_away(eng.state)
+    try:
+        eng._rebuild_estimator()
+        fc = int(eng.state.frame_count)
+        td = float(eng.state.td)
+        check("donated-state rebuild", fc == 0 and np.isfinite(td),
+              f"(frame_count={fc}, td={td})")
+    except Exception as e:  # noqa: BLE001 - any raise is the regression
+        check("donated-state rebuild", False, f"raised {type(e).__name__}")
+
     if failures:
         print(f"FAILED: {failures}")
         return 1

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mobile_slam_tpu.engine import estimator as est
 from mobile_slam_tpu.engine.vio_engine import VIOEngine
@@ -89,6 +90,42 @@ class ImageFrameInput(NamedTuple):
     imu_cnt: jax.Array  # () int32
 
 
+# Compounding-runaway growth detector (in-scan). The EMA gate above needs
+# med_depth to reach FACTOR x a baseline that itself chases the runaway, so
+# a bad visual-inertial initialization (scale off, then compounding ~1%/
+# frame) runs ~30 frames before tripping (adversarial level 1: divergence
+# from frame ~16, EMA gate at frame 48). The growth detector compares
+# against a GROWTH_WINDOW-frame-old snapshot instead: depth AND velocity
+# jointly exceeding their laggged values by the growth factors is the
+# compounding-runaway signature (a legitimate near-wall -> across-the-room
+# viewpoint change moves depth but not velocity; see the EMA-gate rationale
+# on VIOEngine). Rings of zeros disable the detector until seeded
+# (serving._enter_chunked seeds them with the streaming EMAs).
+GROWTH_WINDOW = 30
+DEPTH_GROWTH_FACTOR = 1.8
+VEL_GROWTH_FACTOR = 1.4
+# Distinct arrays: donated jits reject the same buffer appearing twice in
+# one call, and jnp.asarray can alias identical host constants.
+_ZERO_RING_D = np.zeros(GROWTH_WINDOW, np.float32)
+_ZERO_RING_V = np.zeros(GROWTH_WINDOW, np.float32)
+
+
+def growth_gate(lag_depth: jax.Array, lag_vel: jax.Array, lag_i: jax.Array,
+                med_depth: jax.Array, vel: jax.Array):
+    """Lagged-ratio runaway detector. Returns (new_lag_depth, new_lag_vel,
+    new_lag_i, growth). The slot at lag_i holds the GROWTH_WINDOW-frame-old
+    sample (the ring is written after reading)."""
+    lagd = lag_depth[lag_i]
+    lagv = lag_vel[lag_i]
+    growth = ((lagd > 0) & (med_depth > DEPTH_GROWTH_FACTOR * lagd)
+              & (vel > VEL_GROWTH_FACTOR * jnp.maximum(lagv, 0.05)))
+    new_lag_depth = lag_depth.at[lag_i].set(
+        jnp.where(med_depth > 0, med_depth, lagd))
+    new_lag_vel = lag_vel.at[lag_i].set(vel)
+    new_lag_i = (lag_i + 1) % GROWTH_WINDOW
+    return new_lag_depth, new_lag_vel, new_lag_i, growth
+
+
 class ImageChunkCarry(NamedTuple):
     est_state: est.EstimatorState
     tracker_state: trk.TrackerState
@@ -96,6 +133,11 @@ class ImageChunkCarry(NamedTuple):
     key: jax.Array          # PRNG key for RANSAC hypothesis sampling
     depth_ema: jax.Array    # () slow median-depth baseline; 0 = uninitialized
     vel_ema: jax.Array      # () slow |v| baseline for the runaway gate
+    # Growth-detector rings (defaults keep older positional constructors
+    # working; all-zero rings = detector off until it self-fills).
+    lag_depth: jax.Array = _ZERO_RING_D   # (GROWTH_WINDOW,)
+    lag_vel: jax.Array = _ZERO_RING_V     # (GROWTH_WINDOW,)
+    lag_i: jax.Array = np.int32(0)        # () ring cursor
 
 
 def make_image_frame_step(params: est.StaticParams, num_iterations: int,
@@ -130,10 +172,13 @@ def make_image_frame_step(params: est.StaticParams, num_iterations: int,
         # on device inside the scan.
         ema1, vema1, runaway = scale_gate(carry.depth_ema, carry.vel_ema,
                                           diag.med_depth, diag.vel_norm)
+        lagd, lagv, lagi, growth = growth_gate(
+            carry.lag_depth, carry.lag_vel, carry.lag_i,
+            diag.med_depth, diag.vel_norm)
         ok = (diag.state_finite & (diag.vel_norm <= 10.0)
-              & (diag.pos_norm <= 100.0) & ~runaway)
+              & (diag.pos_norm <= 100.0) & ~runaway & ~growth)
         return (ImageChunkCarry(state, tstate, diag.culled_ids, key,
-                                ema1, vema1),
+                                ema1, vema1, lagd, lagv, lagi),
                 (p, q, ok, diag.is_keyframe))
 
     return one_frame

@@ -78,6 +78,7 @@ class ChunkedImageServer:
         self._buf: list[chunked.ImageFrameInput] = []
         self._buf_ts: list[float] = []
         self._stable = 0
+        self._replaying = False
         # counters for observability / tests
         self.n_chunks = 0
         self.n_recoveries = 0
@@ -99,8 +100,10 @@ class ChunkedImageServer:
             return self._process_stream(image, ts)
         return self._process_chunked(image, ts)
 
-    def _process_stream(self, image, ts) -> list[ServeResult]:
-        res = self.engine.process_frame(np.asarray(image), ts)
+    def _process_stream(self, image, ts,
+                        imu_override=None) -> list[ServeResult]:
+        res = self.engine.process_frame(np.asarray(image), ts,
+                                        imu_override=imu_override)
         out = []
         if res.ok:
             p, q, _ = self.engine.get_body_state()
@@ -108,7 +111,10 @@ class ChunkedImageServer:
                                    chunked=False))
         if res.status == Status.TRACKING:
             self._stable += 1
-            if self._stable >= self.stable_frames:
+            # While replaying a failed chunk tail the engine must keep
+            # streaming (the replay loop feeds it host-retained frames);
+            # the mode switch happens once, after the replay drains.
+            if self._stable >= self.stable_frames and not self._replaying:
                 self._enter_chunked()
         else:
             self._stable = 0
@@ -116,11 +122,20 @@ class ChunkedImageServer:
 
     def _enter_chunked(self) -> None:
         eng = self.engine
+        d0 = float(eng._depth_ema or 0.0)
         self._carry = chunked.ImageChunkCarry(
             est_state=eng.state, tracker_state=eng.tracker_state,
             banned_ids=eng._banned_ids, key=eng._key,
-            depth_ema=jnp.asarray(eng._depth_ema or 0.0, jnp.float32),
+            depth_ema=jnp.asarray(d0, jnp.float32),
             vel_ema=jnp.asarray(eng._vel_ema, jnp.float32),
+            # Seed the growth-detector rings with the streaming-phase
+            # baselines so a compounding runaway right after (re)init is
+            # caught within GROWTH_WINDOW frames of chunk entry — that is
+            # exactly where a bad visual-inertial init lives.
+            lag_depth=jnp.full((chunked.GROWTH_WINDOW,), d0, jnp.float32),
+            lag_vel=jnp.full((chunked.GROWTH_WINDOW,),
+                             float(eng._vel_ema), jnp.float32),
+            lag_i=jnp.asarray(0, jnp.int32),
         )
         self._buf, self._buf_ts = [], []
         self._mode = "chunked"
@@ -170,9 +185,15 @@ class ChunkedImageServer:
                         bool(kf_np[k]), chunked=True)
             for k in range(n_real)
         ]
+        inputs, in_ts = self._buf, self._buf_ts
         self._buf, self._buf_ts = [], []
 
-        # Failed tail => the carried state is bad NOW: rebuild + re-init.
+        # Failed tail => the carried state is bad NOW: rebuild + re-init,
+        # then REPLAY the failed frames through the streaming engine (their
+        # images and drained IMU slices are still on the host) so the
+        # re-initialization consumes the tail instead of discarding it —
+        # without this, up to chunk_size frames die between the in-scan
+        # gate tripping and the host seeing the chunk.
         tail = 0
         for k in range(n_real - 1, -1, -1):
             if ok_np[k]:
@@ -180,6 +201,24 @@ class ChunkedImageServer:
             tail += 1
         if tail >= self.recover_tail:
             self._recover()
+            k0 = n_real - tail
+            self._replaying = True
+            try:
+                for k in range(k0, n_real):
+                    inp = inputs[k]
+                    cnt = int(inp.imu_cnt)
+                    override = (np.asarray(inp.imu_dt[:cnt]),
+                                np.asarray(inp.imu_acc[:cnt]),
+                                np.asarray(inp.imu_gyr[:cnt]))
+                    replay = self._process_stream(
+                        np.asarray(inp.img), in_ts[k], imu_override=override)
+                    results[k] = (replay[0] if replay else
+                                  results[k]._replace(ok=False,
+                                                      chunked=False))
+            finally:
+                self._replaying = False
+            if self._stable >= self.stable_frames:
+                self._enter_chunked()
         return results
 
     def _recover(self) -> None:

@@ -407,8 +407,14 @@ class VIOEngine:
     # Frame processing (vio_engine.cpp:165-307)
     # ------------------------------------------------------------------
 
-    def process_frame(self, image: np.ndarray, frame_ts: float) -> FrameResult:
-        """Full image path: track features on device, then run the filter."""
+    def process_frame(self, image: np.ndarray, frame_ts: float,
+                      imu_override=None) -> FrameResult:
+        """Full image path: track features on device, then run the filter.
+
+        imu_override: optional (dts, accs, gyrs) host arrays to use instead
+        of draining the engine's own IMU buffer — the serving layer's
+        replay-on-recovery path re-feeds frames whose IMU slice was already
+        drained into a chunk program's inputs (engine/serving.py)."""
         t0 = time.perf_counter()
         img = jnp.asarray(image, self.dtype)
         self._key, sub = jax.random.split(self._key)
@@ -423,7 +429,7 @@ class VIOEngine:
         return self._process_tracked(
             frame_ts,
             ids=tout.ids, obs=tout.obs, uv=tout.uv, vel=tout.vel,
-            valid=tout.valid,
+            valid=tout.valid, imu_override=imu_override,
         )
 
     def process_features(self, frame_ts: float, ids, rays, uv=None, vel=None,
@@ -458,7 +464,8 @@ class VIOEngine:
         )
 
     def _process_tracked(self, frame_ts, ids=None, obs=None, uv=None,
-                         vel=None, valid=None, host_feat=None) -> FrameResult:
+                         vel=None, valid=None, host_feat=None,
+                         imu_override=None) -> FrameResult:
         """Shared frame pipeline. Features arrive either as device arrays
         (image path: ids/obs/uv/vel/valid are tracker outputs already on
         device) or as padded host arrays (feature path: host_feat tuple,
@@ -477,7 +484,13 @@ class VIOEngine:
                 self._first_frame_time = frame_ts
             return FrameResult(False, None, Status.COOLDOWN, 0, False)
 
-        dts, accs, gyrs = self._drain_imu(frame_ts)
+        if imu_override is not None:
+            dts, accs, gyrs = imu_override
+            dts = np.asarray(dts, float)
+            accs = np.asarray(accs, float).reshape(-1, 3)
+            gyrs = np.asarray(gyrs, float).reshape(-1, 3)
+        else:
+            dts, accs, gyrs = self._drain_imu(frame_ts)
         m_pad = self.cfg.estimator.max_imu_per_interval
         m = min(len(dts), m_pad)
         imu_flat = np.zeros(2 + 7 * m_pad, np.float32)

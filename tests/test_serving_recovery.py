@@ -113,3 +113,50 @@ def test_recover_refreshes_state_from_carry():
     assert eng.status == Status.INITIALIZING
     assert int(eng.state.frame_count) == 0
     assert float(eng.state.td) == pytest.approx(0.0077, abs=1e-7)
+
+
+def test_growth_gate_detects_compounding_runaway():
+    """In-scan lagged-ratio detector (engine/chunked.growth_gate): a
+    compounding ~2%/frame joint depth+velocity inflation (the bad-init
+    signature from the level-1 adversarial probe) must trip within the
+    ring window, while a depth-only viewpoint change must not."""
+    L = chunked.GROWTH_WINDOW
+    d = jnp.full((L,), 3.0, jnp.float32)
+    v = jnp.full((L,), 1.0, jnp.float32)
+    i = jnp.asarray(0, jnp.int32)
+
+    # Compounding runaway: depth and velocity both grow 2.3%/frame.
+    depth, vel = 3.0, 1.0
+    tripped_at = None
+    for k in range(3 * L):
+        depth *= 1.023
+        vel *= 1.023
+        d, v, i, g = chunked.growth_gate(
+            d, v, i, jnp.asarray(depth, jnp.float32),
+            jnp.asarray(vel, jnp.float32))
+        if bool(g):
+            tripped_at = k
+            break
+    assert tripped_at is not None and tripped_at < 2 * L
+
+    # Depth-only change (legit viewpoint shift): never trips.
+    d = jnp.full((L,), 3.0, jnp.float32)
+    v = jnp.full((L,), 1.0, jnp.float32)
+    i = jnp.asarray(0, jnp.int32)
+    depth = 3.0
+    for k in range(3 * L):
+        depth *= 1.03
+        d, v, i, g = chunked.growth_gate(
+            d, v, i, jnp.asarray(depth, jnp.float32),
+            jnp.asarray(1.0, jnp.float32))
+        assert not bool(g)
+
+    # Steady state: no trip.
+    d = jnp.full((L,), 3.0, jnp.float32)
+    v = jnp.full((L,), 1.0, jnp.float32)
+    i = jnp.asarray(0, jnp.int32)
+    for k in range(2 * L):
+        d, v, i, g = chunked.growth_gate(
+            d, v, i, jnp.asarray(3.2, jnp.float32),
+            jnp.asarray(1.1, jnp.float32))
+        assert not bool(g)

@@ -29,6 +29,19 @@ if "--cpu" in sys.argv:
 # Full f32 precision on the MXU: the bias-chain weights span ~1e15, which
 # bf16-pass matmuls cannot represent.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache inside the repo: the driver re-runs this
+# bench on the same machine every round, and compiles dominate wall-clock
+# (the round-4 run hit the driver timeout, BENCH_r04.json rc=124). Cached
+# executables make repeat runs land comfortably inside the budget.
+try:
+    import os as _os
+    _cache_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                               ".xla_cache")
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 from mobile_slam_tpu.config import (CameraConfig, EstimatorConfig,
                                     TrackerConfig, VIOConfig)
@@ -51,6 +64,25 @@ IMG_DURATION = float(next((a.split("=")[1] for a in sys.argv
 CHUNK = 50
 FLEET_B = 4   # concurrent sequences in the fleet image-path phase
 BASELINE_FPS = 200.0  # north star: >=200 frames/sec/chip (BASELINE.md)
+
+# Wall-clock budget (s). The driver runs this under an external timeout;
+# round 4 blew it (BENCH_r04.json rc=124, no contract JSON — the whole round
+# lost its official numbers). The REQUIRED phases (stream, chunked, image
+# path) always run; the optional phases (feature fleet, image fleet,
+# capacity) are skipped when not enough budget remains, so the contract
+# JSON line always lands.
+BUDGET = float(next((a.split("=")[1] for a in sys.argv
+                     if a.startswith("--budget=")), 450.0))
+_T0 = time.perf_counter()
+
+
+def time_left():
+    return BUDGET - (time.perf_counter() - _T0)
+
+
+def phase_note(name):
+    print(f"[bench] t={time.perf_counter() - _T0:.0f}s {name}",
+          file=sys.stderr)
 
 # A/B hooks for the solver budget (scripts/dev_multiseed.py is the accuracy
 # side of the A/B; these flags are the fps side). Default 3 LM iterations:
@@ -211,13 +243,31 @@ def run_image_path(cfg, cam, data):
     """Stream rendered frames until init, then chunked image-path serving.
 
     Returns (fps_image, ate_sim3_rmse, n_poses, n_frames, fps_fleet)."""
+    import os
     n_img = min(int(IMG_DURATION * 20.0), len(data.frames))
-    print(f"[bench] image path: rendering {n_img} frames...", file=sys.stderr)
-    t_r = time.perf_counter()
-    frames = [sim.render_frame(data, fi, cam, R_IC, cfg.camera.t_ic_vec)
-              for fi in range(n_img)]
-    print(f"[bench] rendered in {time.perf_counter()-t_r:.0f}s",
-          file=sys.stderr)
+    # Host-side splat rendering costs ~50 s per run but is deterministic
+    # (seeded sim + deterministic renderer), so cache it on disk — the
+    # round-4 driver run spent 54 s here and then hit the timeout.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts", "bench_frame_cache",
+                         f"main_seed7_d{int(DURATION)}_n{n_img}_v1.npz")
+    if os.path.exists(cache):
+        frames = list(np.load(cache)["frames"])
+        print(f"[bench] image path: loaded {len(frames)} cached frames",
+              file=sys.stderr)
+    else:
+        print(f"[bench] image path: rendering {n_img} frames...",
+              file=sys.stderr)
+        t_r = time.perf_counter()
+        frames = [sim.render_frame(data, fi, cam, R_IC, cfg.camera.t_ic_vec)
+                  for fi in range(n_img)]
+        print(f"[bench] rendered in {time.perf_counter()-t_r:.0f}s",
+              file=sys.stderr)
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez_compressed(cache, frames=np.stack(frames))
+        except Exception as e:  # cache is best-effort
+            print(f"[bench] frame-cache write failed: {e}", file=sys.stderr)
     return _image_path_core(cfg, data, frames, fleet=True)
 
 
@@ -336,6 +386,10 @@ def _image_path_core(cfg, data, frames, fleet=False):
     # scaling headline. Same warmed carry replicated B ways (identical
     # per-sequence work; batching economics don't depend on the data).
     fps_fleet = 0.0
+    if fleet and batches and carry is not None and time_left() < 110.0:
+        print(f"[bench] skipping image fleet (t_left={time_left():.0f}s)",
+              file=sys.stderr)
+        fleet = False
     if fleet and batches and carry is not None:
         from mobile_slam_tpu.parallel import batch as pbatch
         B = FLEET_B
@@ -587,6 +641,7 @@ def main():
             "error": "initialization failed",
         }))
         return
+    phase_note("phase1 (streaming) done")
     fps_stream = 1.0 / float(np.median(stream_times))
     # Device-bound split (VERDICT r2 weak #6): wall-clock streaming fps over
     # the tunnel swings ~2x with RTT on identical code; this re-dispatches
@@ -641,6 +696,7 @@ def main():
                 est_ts.append(data.cam_ts[start + k])
                 est_p.append(p_np[k])
 
+    phase_note("phase2 (chunked) done")
     # --- Phase 2b: FEATURE-PATH FLEET (B sequences vmapped) --------------
     # The solver's small dense ops (165-dim Schur/Cholesky, window math)
     # are latency-bound, so widening them B-fold is nearly free — this is
@@ -649,7 +705,10 @@ def main():
     # staged chunks against a replicated end-state: the feature path has no
     # data-dependent iteration counts, so the rate is data-independent.
     fps_feature_fleet = 0.0
-    if len(batches) >= 2:
+    if len(batches) >= 2 and time_left() < 170.0:
+        print(f"[bench] skipping feature fleet (t_left={time_left():.0f}s)",
+              file=sys.stderr)
+    elif len(batches) >= 2:
         from mobile_slam_tpu.parallel import batch as pbatch
         Bf = 8
         fstep = pbatch.make_batched_chunked_step(
@@ -668,6 +727,7 @@ def main():
         print(f"[bench] fps_feature_fleet{Bf}={fps_feature_fleet:.1f} "
               f"({fps_feature_fleet / Bf:.1f}/seq)", file=sys.stderr)
 
+    phase_note("phase2b (feature fleet) done")
     # --- Phase 3: FULL IMAGE PATH (tracker inside the scan) --------------
     # The reference's hot loop is detectAndTrack + processImage
     # (vio_engine.cpp:209-243); this phase measures the same thing: rendered
@@ -676,10 +736,17 @@ def main():
     (fps_image, ate_img_sim3, img_poses, n_img_frames,
      fps_image_fleet) = run_image_path(cfg, cam, data)
 
+    phase_note("phase3 (image path) done")
     # --- Phase 4: reference-scale capacity (1024 landmark slots). --------
-    fps_capacity = run_capacity(cfg, data)
-    print(f"[bench] fps_capacity_1024slots={fps_capacity:.1f}",
-          file=sys.stderr)
+    if time_left() < 100.0:
+        print(f"[bench] skipping capacity phase (t_left={time_left():.0f}s)",
+              file=sys.stderr)
+        fps_capacity = 0.0
+    else:
+        fps_capacity = run_capacity(cfg, data)
+        print(f"[bench] fps_capacity_1024slots={fps_capacity:.1f}",
+              file=sys.stderr)
+    phase_note("phase4 (capacity) done")
 
     # --- Accuracy -------------------------------------------------------
     est_ts = np.asarray(est_ts)

@@ -14,7 +14,8 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print("usage: python -m mobile_slam_tpu.cli <config.yaml> "
-              "[--cpu] [--frames=N] [--pipelined]", file=sys.stderr)
+              "[--cpu] [--frames=N] [--pipelined] [--checkpoint=PATH] "
+              "[--checkpoint-every=N] [--resume=PATH]", file=sys.stderr)
         return 2
 
     import jax
@@ -32,9 +33,17 @@ def main(argv=None):
     if problems:
         print(f"invalid config: {problems}", file=sys.stderr)
         return 1
+    ckpt_path = resume_path = None
+    ckpt_every = 200
     for a in argv:
         if a.startswith("--frames="):
             cfg = cfg.replace(end_frame=int(a.split("=")[1]))
+        elif a.startswith("--checkpoint="):
+            ckpt_path = a.split("=", 1)[1]
+        elif a.startswith("--checkpoint-every="):
+            ckpt_every = int(a.split("=")[1])
+        elif a.startswith("--resume="):
+            resume_path = a.split("=", 1)[1]
 
     print(f"[cli] dataset: {cfg.dataset_path}", file=sys.stderr)
     print(f"[cli] camera: {cfg.camera.model_type} "
@@ -44,7 +53,9 @@ def main(argv=None):
     with open(cfg_path) as f:
         blob = f.read()
     system = VIOSystem(cfg, config_blob=blob,
-                       pipelined="--pipelined" in argv)
+                       pipelined="--pipelined" in argv,
+                       checkpoint_path=ckpt_path, checkpoint_every=ckpt_every,
+                       resume_path=resume_path)
     s = system.process_sequence()
     print(f"[cli] {s.poses_recovered}/{s.frames_processed} poses, "
           f"{s.fps:.1f} fps, log: {s.log_dir}", file=sys.stderr)

@@ -117,8 +117,16 @@ def growth_gate(lag_depth: jax.Array, lag_vel: jax.Array, lag_i: jax.Array,
     sample (the ring is written after reading)."""
     lagd = lag_depth[lag_i]
     lagv = lag_vel[lag_i]
+    # The velocity criterion requires the lagged baseline ITSELF to be
+    # moving (lagv > floor), not a floored ratio: with max(lagv, floor) a
+    # legitimate acceleration from near-hover (lagv ~ 0.02) toward open
+    # space (depth 1.8x) trips on any vel > 1.4*floor = 0.07 m/s and can
+    # hold for a full lag window, forcing an unnecessary rebuild of a
+    # healthy state. A compounding runaway inflates lagv past the floor
+    # within one window, so detection is only delayed, never lost (the EMA
+    # scale gate covers the window in between).
     growth = ((lagd > 0) & (med_depth > DEPTH_GROWTH_FACTOR * lagd)
-              & (vel > VEL_GROWTH_FACTOR * jnp.maximum(lagv, 0.05)))
+              & (lagv > 0.05) & (vel > VEL_GROWTH_FACTOR * lagv))
     new_lag_depth = lag_depth.at[lag_i].set(
         jnp.where(med_depth > 0, med_depth, lagd))
     new_lag_vel = lag_vel.at[lag_i].set(vel)

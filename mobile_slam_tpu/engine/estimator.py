@@ -471,14 +471,20 @@ def solve_and_slide(
         0.0,
     )
 
+    # Tracked-feature count for the current frame (the reference's
+    # getFeaturePointCount diagnostic, vio_engine.cpp:313-352): slots
+    # observed in the newest frame with a track length >= 2. Masks within
+    # a track are contiguous from `start`, so used_num >= 2 with a
+    # current-frame observation means tracked-from-before.
+    fc_cur = jnp.clip(state.frame_count, 0, W - 1)
+    cur_mask = jnp.take(state.table.mask, fc_cur, axis=1)
+    n_tracked = jnp.sum((state.table.fid >= 0) & cur_mask
+                        & (state.table.used_num >= 2)).astype(jnp.int32)
+
     diag = StepDiag(
         is_keyframe=is_kf,
         culled_ids=culled_ids,
-        # Not wired: the tracked-from-previous-frame count lives in
-        # bookkeeping_step's AddResult (feature_table.add); here it would
-        # need re-deriving from the table. Use FrameInput.valid counts or
-        # AddResult.last_track_num for that signal.
-        last_track_num=jnp.asarray(0, jnp.int32),
+        last_track_num=n_tracked,
         solver_cost0=res.cost0,
         solver_cost=res.cost,
         accepted_steps=res.accepted,

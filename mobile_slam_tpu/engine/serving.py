@@ -203,6 +203,14 @@ class ChunkedImageServer:
             self._recover()
             k0 = n_real - tail
             self._replaying = True
+            # The replay re-feeds the failed tail through the POST-chunk
+            # tracker state, which already saw those frames: the first
+            # replayed frame arrives with a backwards timestamp jump, so
+            # its LK tracks run from the newest pyramid onto an older
+            # image (velocities are zeroed by the tracker's dt guard). The
+            # first replayed frame effectively re-seeds the tracks — an
+            # accepted degradation, since a pre-tail tracker snapshot is
+            # not recoverable from a single lax.scan output.
             try:
                 for k in range(k0, n_real):
                     inp = inputs[k]

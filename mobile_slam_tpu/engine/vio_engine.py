@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import enum
 import functools
+import math
 import queue
 import threading
 import time
@@ -333,6 +334,13 @@ class VIOEngine:
         try:
             old_td = float(self.state.td)
         except Exception:
+            old_td = float(self.cfg.estimator.td_init)
+        # A NaN-diverged tail carries td=NaN; float(NaN) succeeds, and a
+        # NaN-seeded td flows straight into the observation residuals of
+        # every frame after re-init (jnp.clip passes NaN through), making
+        # the failure permanent. Rebuilds exist to shed diverged state —
+        # never let td smuggle it back in.
+        if not math.isfinite(old_td):
             old_td = float(self.cfg.estimator.td_init)
         self.state = est.init_state(self.cfg, self.params, self.dtype)
         self.state = self.state._replace(

@@ -53,7 +53,9 @@ class VIOSystem:
 
     def __init__(self, cfg: VIOConfig, dataset_root: str | None = None,
                  log_root: str = "logs", config_blob: str | None = None,
-                 pipelined: bool = False):
+                 pipelined: bool = False, checkpoint_path: str | None = None,
+                 checkpoint_every: int = 200,
+                 resume_path: str | None = None):
         self.cfg = cfg
         self.dataset = EurocDataset(dataset_root or cfg.dataset_path)
         self.engine = VIOEngine(cfg)
@@ -62,6 +64,12 @@ class VIOSystem:
         # One-frame-lag streaming (device-time-bound push calls; poses come
         # back tagged with res.ts). Enabled once tracking starts.
         self.pipelined = pipelined
+        # Checkpoint/resume (engine/checkpoint.py — beyond the reference,
+        # SURVEY §5): snapshot every checkpoint_every frames once TRACKING;
+        # resume restores the engine and skips the already-consumed inputs.
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every)
+        self.resume_path = resume_path
 
     def _write_live(self, status: Status, frames: int, poses: int) -> None:
         import json
@@ -98,6 +106,24 @@ class VIOSystem:
         stride = cfg.frame_skip + 1
 
         imu_i = 0
+        if self.resume_path:
+            from mobile_slam_tpu.engine import checkpoint as ckpt
+
+            ckpt.load_engine(self.resume_path, self.engine)
+            last_ts = self.engine._last_frame_ts
+            # Skip dataset inputs the saved engine already consumed: frames
+            # up to and including the checkpointed one, and IMU samples up
+            # to the last one drained or still pending in the restored
+            # queue (the queue itself came back verbatim).
+            while start < end and ds.images.ts[start] <= last_ts + 1e-12:
+                start += stride
+            imu_seen = max([last_ts] + [s[0] for s in
+                                        self.engine._pending_imu])
+            while (imu_i < len(ds.imu.ts)
+                   and ds.imu.ts[imu_i] <= imu_seen + 1e-12):
+                imu_i += 1
+            print(f"[vio] resumed from {self.resume_path} at frame {start} "
+                  f"(status={self.engine.status.name})", file=sys.stderr)
         t_wall = time.time()
         frames = poses = 0
         est_ts, est_p, est_q = [], [], []
@@ -141,6 +167,22 @@ class VIOSystem:
                       f"poses={poses}", file=sys.stderr)
             if frames % self.LIVE_EVERY == 0:
                 self._write_live(res.status, frames, poses)
+            if (self.checkpoint_path and res.status == Status.TRACKING
+                    and not self.engine._pipelined
+                    and frames % self.checkpoint_every == 0):
+                from mobile_slam_tpu.engine import checkpoint as ckpt
+
+                ckpt.save_engine(self.checkpoint_path, self.engine)
+                print(f"[vio] checkpoint -> {self.checkpoint_path} "
+                      f"(frame {idx})", file=sys.stderr)
+
+        if (self.checkpoint_path and not self.engine._pipelined
+                and self.engine.status == Status.TRACKING):
+            from mobile_slam_tpu.engine import checkpoint as ckpt
+
+            ckpt.save_engine(self.checkpoint_path, self.engine)
+            print(f"[vio] final checkpoint -> {self.checkpoint_path}",
+                  file=sys.stderr)
 
         for tail in self.engine.flush_all():
             if tail.ok and tail.pose is not None:

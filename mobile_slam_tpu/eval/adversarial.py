@@ -27,7 +27,10 @@ that symmetry two ways:
    * accel scale-factor error— violates the linear measurement model
    * camera-IMU time offset  — constant td + per-frame jitter (the reference
                                estimates NO td, estimator.cpp has no td
-                               state; we must degrade gracefully, not die)
+                               state; we estimate it online when
+                               estimator.estimate_td is on — bench
+                               ``--adv-td`` — and must degrade gracefully
+                               either way)
    * moving objects          — independently-moving sprite clusters that
                                violate the static-world assumption
 
@@ -178,6 +181,11 @@ class NuisanceConfig:
     cam_time_jitter_s: float = 0.0  # per-frame timestamp jitter std
     n_moving_objects: int = 0       # independently-moving sprite clusters
     moving_speed: float = 0.4       # m/s of the movers
+    # Rolling-shutter row readout time (s for a full frame scan, top->bottom,
+    # centered on the frame timestamp). The one real-sensor effect the
+    # reference's own analysis names as unmodeled (docs/analysis-report.md:
+    # 408-418); a global-shutter estimator must degrade gracefully.
+    rs_readout_s: float = 0.0
     seed: int = 0
 
 
@@ -201,6 +209,15 @@ LEVELS: dict[int, NuisanceConfig] = {
                       imu_ar1_rho=0.99, imu_ar1_acc=0.04, imu_ar1_gyr=0.004,
                       acc_scale_err=0.04, cam_time_offset_s=0.005,
                       cam_time_jitter_s=0.002, n_moving_objects=3),
+    # Level 4: level-2 moderate nuisances + a 20 ms rolling-shutter readout
+    # (typical mobile CMOS full-frame scan). Row-time pose divergence under
+    # rotation is the dominant unmodeled geometry error on phones.
+    4: NuisanceConfig(exposure_flicker=0.15, vignette=0.40,
+                      motion_blur_px=2.0, pixel_noise_std=4.0,
+                      imu_ar1_rho=0.98, imu_ar1_acc=0.02, imu_ar1_gyr=0.002,
+                      acc_scale_err=0.02, cam_time_offset_s=0.002,
+                      cam_time_jitter_s=0.001, n_moving_objects=2,
+                      rs_readout_s=0.020),
 }
 
 
@@ -356,6 +373,29 @@ def _splat_sprites(img: np.ndarray, uv: np.ndarray, vis: np.ndarray,
         img[ya:yb, xa:xb] = img[ya:yb, xa:xb] * (1 - a) + sv * a
 
 
+def _slerp_np(q0: np.ndarray, q1: np.ndarray, a: float) -> np.ndarray:
+    """Quaternion slerp (wxyz), numpy, shortest arc."""
+    d = float(np.dot(q0, q1))
+    if d < 0.0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        q = q0 + a * (q1 - q0)
+        return q / np.linalg.norm(q)
+    th = np.arccos(np.clip(d, -1.0, 1.0))
+    return (np.sin((1 - a) * th) * q0 + np.sin(a * th) * q1) / np.sin(th)
+
+
+def _gt_pose_at(data: SimData, t: float) -> tuple[np.ndarray, np.ndarray]:
+    """Interpolated ground-truth body pose (R_wb, p_w) at an arbitrary time
+    on the TRUE camera clock (rolling-shutter rows expose off-grid)."""
+    ts = getattr(data, "true_cam_ts", data.cam_ts)
+    j = int(np.clip(np.searchsorted(ts, t) - 1, 0, len(ts) - 2))
+    a = float(np.clip((t - ts[j]) / max(ts[j + 1] - ts[j], 1e-9), 0.0, 1.0))
+    q = _slerp_np(data.gt_q[j], data.gt_q[j + 1], a)
+    p = (1.0 - a) * data.gt_p[j] + a * data.gt_p[j + 1]
+    return _quat_to_rot_np(q), p
+
+
 _VIGNETTE_CACHE: dict = {}
 
 
@@ -382,23 +422,26 @@ def render_frame_adversarial(data: SimData, fi: int, cam_cfg,
     R_wc = R_wb @ r_ic
     t_wc = data.gt_p[fi] + R_wb @ t_ic
 
-    img = _walls_from_rays(oracle_ray_grid(cam_cfg), R_wc, t_wc)
+    def project_world(t_at: float, R_wc_a: np.ndarray, t_wc_a: np.ndarray):
+        """All world sprites (landmarks + movers at time t_at) through the
+        oracle projection under the given camera pose."""
+        world_pts = [data.landmarks]
+        for m in movers:
+            world_pts.append(m.positions(t_at))
+        world = np.concatenate(world_pts, axis=0)
+        pts_c = (world - t_wc_a) @ R_wc_a
+        depth = pts_c[:, 2]
+        in_front = depth > 0.05
+        uv = np.zeros((len(world), 2))
+        if in_front.any():
+            uv[in_front] = oracle_project(cam_cfg, pts_c[in_front])
+        margin = 8.0
+        vis = (in_front & (depth > 0.3) & (depth < 12.0)
+               & (uv[:, 0] > margin) & (uv[:, 0] < w_img - margin)
+               & (uv[:, 1] > margin) & (uv[:, 1] < h_img - margin))
+        return world, uv, vis
 
-    # Static landmarks + movers, all through the oracle projection.
-    world_pts = [data.landmarks]
-    for m in movers:
-        world_pts.append(m.positions(t_true))
-    world = np.concatenate(world_pts, axis=0)
-    pts_c = (world - t_wc) @ R_wc
-    depth = pts_c[:, 2]
-    in_front = depth > 0.05
-    uv = np.zeros((len(world), 2))
-    if in_front.any():
-        uv[in_front] = oracle_project(cam_cfg, pts_c[in_front])
-    margin = 8.0
-    vis = (in_front & (depth > 0.3) & (depth < 12.0)
-           & (uv[:, 0] > margin) & (uv[:, 0] < w_img - margin)
-           & (uv[:, 1] > margin) & (uv[:, 1] < h_img - margin))
+    world, uv, vis = project_world(t_true, R_wc, t_wc)
 
     brightness = rng.uniform(120, 195, len(data.landmarks))
     phases = rng.integers(0, 2, len(data.landmarks))
@@ -407,7 +450,35 @@ def render_frame_adversarial(data: SimData, fi: int, cam_cfg,
         mrng = np.random.default_rng(nuis.seed + 31337)
         brightness = np.concatenate([brightness, mrng.uniform(140, 200, n_m)])
         phases = np.concatenate([phases, mrng.integers(0, 2, n_m)])
-    _splat_sprites(img, uv, vis, brightness, phases, sprite)
+
+    if not nuis.rs_readout_s:
+        img = _walls_from_rays(oracle_ray_grid(cam_cfg), R_wc, t_wc)
+        _splat_sprites(img, uv, vis, brightness, phases, sprite)
+    else:
+        # Rolling shutter: rows expose top->bottom over rs_readout_s,
+        # centered on the frame timestamp. Rendered in B horizontal bands,
+        # each from the interpolated GT pose at its mid-row exposure time;
+        # sprites are assigned to the band of their global-shutter row and
+        # re-projected under that band's pose (one fixed-point step of the
+        # row/pose circularity — sub-band-height accurate).
+        B = 16
+        rays = oracle_ray_grid(cam_cfg)
+        edges = np.linspace(0, h_img, B + 1).astype(int)
+        band_of = np.clip((uv[:, 1] / h_img * B).astype(int), 0, B - 1)
+        img = np.empty((h_img, w_img))
+        for b in range(B):
+            r0, r1 = edges[b], edges[b + 1]
+            t_b = t_true + nuis.rs_readout_s * (
+                (0.5 * (r0 + r1)) / h_img - 0.5)
+            R_wb_b, p_b = _gt_pose_at(data, t_b)
+            R_wc_b = R_wb_b @ r_ic
+            t_wc_b = p_b + R_wb_b @ t_ic
+            img[r0:r1] = _walls_from_rays(rays[r0:r1], R_wc_b, t_wc_b)
+            sel = vis & (band_of == b)
+            if sel.any():
+                _, uv_b, vis_b = project_world(t_b, R_wc_b, t_wc_b)
+                _splat_sprites(img, uv_b, vis_b & sel, brightness, phases,
+                               sprite)
 
     # --- photometric nuisances --------------------------------------------
     if nuis.vignette:

@@ -50,11 +50,24 @@ def main():
             if os.path.exists(cache):
                 continue
             # Claim the arm so parallel instances don't duplicate work.
+            # A claim left behind by a SIGKILLed renderer would otherwise
+            # block the arm forever (ADVICE r4): treat claims older than
+            # 1 h as stale and reclaim them.
             claim = cache + ".claim"
+            try:
+                if (os.path.exists(claim)
+                        and time.time() - os.path.getmtime(claim) > 3600):
+                    print(f"[render-cache] reclaiming stale claim {claim}",
+                          flush=True)
+                    os.remove(claim)
+            except OSError:
+                pass
             try:
                 fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
             except FileExistsError:
+                print(f"[render-cache] skipping claimed arm l{lvl} s{seed} "
+                      f"(claim {claim} held by another instance)", flush=True)
                 continue
             try:
                 nuis = adv.LEVELS[lvl]

@@ -115,6 +115,33 @@ class TestAdversarialRenderer:
         c = np.corrcoef(clean.ravel(), dirty.ravel())[0, 1]
         assert c > 0.5
 
+    def test_rolling_shutter_distorts_under_motion(self):
+        """Level-4 rolling shutter: banded row-time rendering must (a) be a
+        no-op when the readout is 0, (b) visibly shear the scene under the
+        sim's real motion, (c) stay the same underlying scene."""
+        import dataclasses
+        nuis = adv.NuisanceConfig(rs_readout_s=0.02)
+        data = self._data(nuis, duration=4.0)
+        fi = 60  # mid-sequence, trajectory in full swing
+        rs = adv.render_frame_adversarial(data, fi, TUMVI_KB, R_IC, T_IC,
+                                          nuis)
+        gs = adv.render_frame_adversarial(
+            data, fi, TUMVI_KB, R_IC, T_IC,
+            dataclasses.replace(nuis, rs_readout_s=0.0))
+        assert rs.shape == gs.shape and rs.dtype == np.uint8
+        d = np.abs(rs.astype(float) - gs.astype(float))
+        assert d.mean() > 0.05         # sheared, not identical
+        c = np.corrcoef(rs.ravel(), gs.ravel())[0, 1]
+        assert c > 0.5                 # same scene
+        # 20 ms over a 50 ms frame: top and bottom rows expose 20 ms apart,
+        # so distortion must grow away from the (time-centered) middle rows.
+        mid = d[220:292].mean()
+        edges = 0.5 * (d[:72].mean() + d[-72:].mean())
+        assert edges > mid
+
+    def test_level4_preset_has_rolling_shutter(self):
+        assert adv.LEVELS[4].rs_readout_s > 0.0
+
     def test_vignette_darkens_corners_only(self):
         v = adv._vignette_map(512, 512, 0.4)
         assert v[256, 256] > 0.99

@@ -86,6 +86,19 @@ def test_rebuild_survives_donated_state():
     assert eng.status == Status.INITIALIZING
 
 
+def test_rebuild_discards_nan_td():
+    """A NaN-diverged tail carries td=NaN; float(NaN) succeeds, so without
+    an explicit finiteness check the rebuild seeds the fresh state with a
+    poisoned td that re-enters every observation residual after re-init —
+    making the failure permanent. The rebuild must fall back to td_init."""
+    eng = VIOEngine(small_cfg(), jnp.float32)
+    eng.state = eng.state._replace(td=jnp.asarray(float("nan"), jnp.float32))
+    eng._rebuild_estimator()
+    assert float(eng.state.td) == pytest.approx(
+        float(eng.cfg.estimator.td_init), abs=1e-9)
+    assert eng.status == Status.INITIALIZING
+
+
 def test_recover_refreshes_state_from_carry():
     """serving._recover must adopt the live carry's est_state (the chunk
     output) so the rebuild reads td from a valid buffer — and the learned
@@ -160,3 +173,24 @@ def test_growth_gate_detects_compounding_runaway():
             d, v, i, jnp.asarray(3.2, jnp.float32),
             jnp.asarray(1.1, jnp.float32))
         assert not bool(g)
+
+
+def test_growth_gate_ignores_acceleration_from_hover():
+    """Legit motion (ADVICE r4): accelerating from a standstill toward open
+    space — vel 0.02 -> 1.0 m/s over one lag window while depth grows ~2%/
+    frame, then cruise. With the old max(lagv, floor) ratio this held the
+    gate for a sustained stretch and forced a rebuild of a healthy state;
+    requiring the lagged baseline itself to be moving must not trip."""
+    L = chunked.GROWTH_WINDOW
+    d = jnp.full((L,), 2.0, jnp.float32)
+    v = jnp.full((L,), 0.02, jnp.float32)
+    i = jnp.asarray(0, jnp.int32)
+    depth, vel = 2.0, 0.02
+    for k in range(3 * L):
+        if k < L:                      # acceleration phase
+            depth *= 1.02
+            vel = min(1.0, vel + (1.0 - 0.02) / L)
+        d, v, i, g = chunked.growth_gate(
+            d, v, i, jnp.asarray(depth, jnp.float32),
+            jnp.asarray(vel, jnp.float32))
+        assert not bool(g), f"false positive at frame {k}"

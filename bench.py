@@ -479,7 +479,7 @@ def run_adversarial_bench():
             cfg, estimator=_dc.replace(cfg.estimator, estimate_td=True))
     levels = sorted(int(s) for s in next(
         (a.split("=")[1] for a in sys.argv
-         if a.startswith("--adv-levels=")), "0,1,2,3").split(","))
+         if a.startswith("--adv-levels=")), "0,1,2,3,4").split(","))
     duration = float(next((a.split("=")[1] for a in sys.argv
                            if a.startswith("--adv-duration=")), 12.0))
     seeds = [int(s) for s in next(

@@ -857,6 +857,15 @@ class VIOEngine:
         pts, good = self._map_points(self.state.table, self.state.window)
         return np.asarray(pts)[np.asarray(good)]
 
+    def get_tracked_points(self):
+        """Current tracked feature positions for the per-frame overlay
+        debug view (the reference's cv::imshow feature overlay,
+        measurement_processor.cpp:233-246): (pts (N, 2) pixel coords,
+        track_cnt (N,)) for the active tracker slots."""
+        ts = self.tracker_state
+        act = np.asarray(ts.active)
+        return np.asarray(ts.pts)[act], np.asarray(ts.track_cnt)[act]
+
     def get_body_state(self):
         """Latest window-tip body state (for evaluation/logging)."""
         w = self.state.window

@@ -71,7 +71,8 @@ class VIOSystem:
         self.checkpoint_every = int(checkpoint_every)
         self.resume_path = resume_path
 
-    def _write_live(self, status: Status, frames: int, poses: int) -> None:
+    def _write_live(self, status: Status, frames: int, poses: int,
+                    img: np.ndarray | None = None) -> None:
         import json
         import os
 
@@ -79,6 +80,24 @@ class VIOSystem:
             pts = self.engine.get_map_points()
         except Exception:
             pts = np.zeros((0, 3))
+        # Per-frame track-overlay debug view (the reference's cv::imshow
+        # feature overlay, measurement_processor.cpp:233-246): the current
+        # gray frame + tracked points land in the run dir; the live viewer
+        # (web/viewer.html) draws the points colored by track length.
+        tracks = {}
+        try:
+            uv, cnt = self.engine.get_tracked_points()
+            tracks = {"uv": np.asarray(uv, float).round(1).tolist(),
+                      "cnt": np.asarray(cnt, int).tolist()}
+            if img is not None:
+                import cv2
+
+                tmp = os.path.join(self.logger.dir, ".tmp_frame.png")
+                cv2.imwrite(tmp, np.asarray(img, np.uint8))
+                os.replace(tmp,
+                           os.path.join(self.logger.dir, "frame.png"))
+        except Exception:
+            pass
         payload = {
             "status": status.name,
             "frames": frames,
@@ -91,6 +110,7 @@ class VIOSystem:
             },
             # Engine tracing hooks: per-stage host wall-time EMAs (ms).
             "stage_ms": self.engine.get_timing(),
+            "tracks": tracks,
         }
         tmp = os.path.join(self.logger.dir, ".live.json.tmp")
         with open(tmp, "w") as f:
@@ -166,7 +186,7 @@ class VIOSystem:
                 print(f"[vio] frame {idx}/{end} status={res.status.name} "
                       f"poses={poses}", file=sys.stderr)
             if frames % self.LIVE_EVERY == 0:
-                self._write_live(res.status, frames, poses)
+                self._write_live(res.status, frames, poses, img=img)
             if (self.checkpoint_path and res.status == Status.TRACKING
                     and not self.engine._pipelined
                     and frames % self.checkpoint_every == 0):

@@ -87,6 +87,95 @@ def _essential_8pt(p1, p2):
     return u @ np.diag([1.0, 1.0, 0.0]) @ vt
 
 
+# Monomial order for the Stewenius 5-point action matrix: the 10 degree-3
+# monomials first (eliminated), then the 10-dim quotient basis.
+_MONO3 = [(3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1),
+          (1, 0, 2), (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)]
+_MONO_BASIS = [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1),
+               (0, 0, 2), (1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+
+# Coefficient recovery by interpolation: each of the ten constraint
+# polynomials is a cubic form in (x, y, z) with 20 unknown monomial
+# coefficients; evaluating all ten at 20 fixed generic sample points and
+# solving against the (precomputed) monomial Vandermonde recovers the
+# coefficient matrix with batched 3x3 numpy ops instead of symbolic
+# polynomial expansion (~50x faster per hypothesis).
+_S_RNG = np.random.default_rng(20260821)
+_SAMPLES = _S_RNG.normal(size=(20, 3))
+_VAND = np.stack([
+    np.prod(_SAMPLES ** np.asarray(m), axis=1)
+    for m in _MONO3 + _MONO_BASIS], axis=1)        # (20 points, 20 monos)
+_VAND_INV = np.linalg.inv(_VAND)
+
+
+def _essential_5pt_candidates(p1, p2):
+    """Essential-matrix candidates from exactly >=5 correspondences
+    (Stewenius et al., "Recent developments on direct relative
+    orientation"): nullspace basis E = x E1 + y E2 + z E3 + E4, the ten
+    cubic constraints det(E)=0 and 2 E E^T E - tr(E E^T) E = 0 reduced by
+    Gauss-Jordan to a 10x10 action matrix whose real eigenvectors give
+    (x, y, z). Returns a list of up to 10 (3,3) candidates. This is the
+    reference's bootstrap solver family (cv::findEssentialMat 5-point,
+    solve_5pts.cpp:7-43) — the 8-point fallback is degenerate on planar
+    scenes (see scripts/dev_5pt_ab.py)."""
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    A = np.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2,
+                  x1, y1, np.ones_like(x1)], axis=-1)
+    _, _, vt = np.linalg.svd(A, full_matrices=A.shape[0] < 9)
+    basis = vt[-4:][::-1]  # E1..E4; E4 = smallest singular vector
+    Es = np.stack([b.reshape(3, 3) for b in basis])  # (4, 3, 3)
+
+    # Evaluate the ten cubic constraints det(E)=0 and
+    # 2 E E^T E - tr(E E^T) E = 0 at the fixed sample points (batched),
+    # then recover all monomial coefficients through the Vandermonde.
+    xyz1 = np.concatenate([_SAMPLES, np.ones((20, 1))], axis=1)  # (20, 4)
+    Esamp = np.einsum("sk,kij->sij", xyz1, Es)                   # (20, 3, 3)
+    dets = np.linalg.det(Esamp)                                  # (20,)
+    EEt = Esamp @ np.transpose(Esamp, (0, 2, 1))                 # (20, 3, 3)
+    tr = np.trace(EEt, axis1=1, axis2=2)
+    G = 2.0 * EEt @ Esamp - tr[:, None, None] * Esamp            # (20, 3, 3)
+    vals = np.concatenate([dets[:, None], G.reshape(20, 9)], axis=1)
+    M = (_VAND_INV @ vals).T                                     # (10, 20)
+
+    A1, A2 = M[:, :10], M[:, 10:]
+    try:
+        B = np.linalg.solve(A1, A2)
+    except np.linalg.LinAlgError:
+        return []
+
+    # Action matrix for multiplication by x on the quotient basis.
+    act = np.zeros((10, 10))
+    act[0] = -B[0]   # x*x^2  = x^3
+    act[1] = -B[1]   # x*xy   = x^2 y
+    act[2] = -B[2]   # x*xz   = x^2 z
+    act[3] = -B[3]   # x*y^2  = x y^2
+    act[4] = -B[4]   # x*yz   = x y z
+    act[5] = -B[5]   # x*z^2  = x z^2
+    act[6][0] = 1.0  # x*x    = x^2
+    act[7][1] = 1.0  # x*y    = x y
+    act[8][2] = 1.0  # x*z    = x z
+    act[9][6] = 1.0  # x*1    = x
+    try:
+        w, v = np.linalg.eig(act)
+    except np.linalg.LinAlgError:
+        return []
+
+    out = []
+    for i in range(10):
+        if abs(w[i].imag) > 1e-8:
+            continue
+        vec = v[:, i].real
+        if abs(vec[9]) < 1e-12:
+            continue
+        x, y, z = vec[6] / vec[9], vec[7] / vec[9], vec[8] / vec[9]
+        E = x * Es[0] + y * Es[1] + z * Es[2] + Es[3]
+        n = np.linalg.norm(E)
+        if n > 1e-12 and np.isfinite(n):
+            out.append(E / n)
+    return out
+
+
 def _epipolar_dist(E, p1, p2):
     h1 = np.concatenate([p1, np.ones((len(p1), 1))], axis=1)
     h2 = np.concatenate([p2, np.ones((len(p2), 1))], axis=1)
@@ -113,11 +202,19 @@ def triangulate_point(pose0, pose1, p0, p1):
 
 
 def solve_relative_rt(corres, threshold_focal: float = 460.0,
-                      seed: int = 0):
+                      seed: int = 0, method: str = "5pt"):
     """Relative pose from normalized-plane correspondences
-    (MotionEstimator::solveRelativeRT, solve_5pts.cpp:7-43): RANSAC essential
-    (threshold 1/focal, 0.99 confidence budget ~ fixed 200 hypotheses) +
+    (MotionEstimator::solveRelativeRT, solve_5pts.cpp:7-43): RANSAC
+    essential (threshold 1/focal, 0.99-confidence adaptive budget) +
     cheirality pose recovery. corres: list of (ray_i (3,), ray_j (3,)).
+
+    method="5pt" (default, the reference's solver family): Stewenius
+    minimal solver, up to 10 candidates per 5-sample, refit by re-solving
+    on inlier subsamples. method="8pt": normalized 8-point + linear
+    inlier refit — cheaper per hypothesis but DEGENERATE on planar scenes
+    and starved at minimal correspondence counts (the A/B that forced the
+    default flip: scripts/dev_5pt_ab.py / artifacts/ab_5pt_r5.json —
+    planar tdir error 70 deg median, success 0.03-0.13 at 16 corres).
 
     Returns (ok, R, t) with the reference's output convention: R, t map
     frame-j points into frame-i (R = R_ij^T applied as in solve_5pts.cpp's
@@ -136,26 +233,79 @@ def solve_relative_rt(corres, threshold_focal: float = 460.0,
     thresh = base * (1.0 + r2)
 
     rng = np.random.default_rng(seed)
+    k = 5 if method == "5pt" else 8
+
+    def hypotheses(idx):
+        if method == "5pt":
+            return _essential_5pt_candidates(p1[idx], p2[idx])
+        return [_essential_8pt(p1[idx], p2[idx])]
+
+    # Hypotheses are ranked by (inlier count, truncated-error score): at
+    # low noise most candidates saturate the count, and keeping the first
+    # one found leaves an arbitrary-quality E (planar tdir error ~20 deg
+    # median in the A/B); the truncated mean error (MSAC-style) breaks the
+    # ties by actual fit quality.
     best_inl = None
     best_cnt = -1
-    for _ in range(200):
-        idx = rng.choice(n, 8, replace=False)
-        E = _essential_8pt(p1[idx], p2[idx])
+    best_score = np.inf
+    best_E = None
+    max_iters = 200
+    it = 0
+
+    def consider(E):
+        nonlocal best_inl, best_cnt, best_score, best_E, max_iters
         d = _epipolar_dist(E, p1, p2)
         inl = d < thresh
-        if inl.sum() > best_cnt:
-            best_cnt = int(inl.sum())
-            best_inl = inl
-    if best_cnt < 12:
+        cnt = int(inl.sum())
+        score = float(np.minimum(d / thresh, 1.0).sum())
+        if cnt > best_cnt or (cnt == best_cnt and score < best_score):
+            best_cnt, best_score, best_inl, best_E = cnt, score, inl, E
+            return True
+        return False
+
+    while it < max_iters:
+        idx = rng.choice(n, k, replace=False)
+        for E in hypotheses(idx):
+            if consider(E):
+                # 0.99-confidence adaptive budget (RANSAC standard):
+                # enough samples that an all-inlier draw is near-certain.
+                ratio = best_cnt / n
+                if ratio > 0.999:
+                    max_iters = min(max_iters, it + 16)
+                elif ratio > 0:
+                    need = np.log(0.01) / np.log(
+                        max(1.0 - ratio ** k, 1e-12))
+                    max_iters = min(max_iters, it + 1 + int(np.ceil(need)))
+        it += 1
+    if best_cnt < 12 or best_E is None:
         return False, None, None
-    # Two refit passes on the inlier set.
     inl = best_inl
-    for _ in range(2):
-        E = _essential_8pt(p1[inl], p2[inl])
-        new_inl = _epipolar_dist(E, p1, p2) < thresh
-        if new_inl.sum() < 8:
-            break
-        inl = new_inl
+    if method == "5pt":
+        # Refit: minimal re-solves on inlier subsamples (an 8-point linear
+        # refit here would re-introduce the planar degeneracy).
+        inl_idx = np.where(best_inl)[0]
+        for r in range(15):
+            if len(inl_idx) < 5:
+                break
+            # Alternate minimal and least-squares draws: with N>5 points
+            # the same solver runs on the 4 smallest singular vectors (the
+            # LS nullspace), which averages noise down — the cubic
+            # constraints still enforce essential structure, so this does
+            # NOT re-introduce the 8-point planar degeneracy.
+            m = 5 if r % 2 == 0 else min(10, len(inl_idx))
+            sub = rng.choice(inl_idx, m, replace=False)
+            for Ec in hypotheses(sub):
+                if consider(Ec):
+                    inl_idx = np.where(best_inl)[0]
+        E, inl = best_E, best_inl
+    else:
+        # Two linear refit passes on the inlier set.
+        for _ in range(2):
+            E = _essential_8pt(p1[inl], p2[inl])
+            new_inl = _epipolar_dist(E, p1, p2) < thresh
+            if new_inl.sum() < 8:
+                break
+            inl = new_inl
 
     # Pose recovery with cheirality test (cv::recoverPose equivalent).
     u, _, vt = np.linalg.svd(E)
@@ -193,6 +343,18 @@ def solve_relative_rt(corres, threshold_focal: float = 460.0,
     R = R21.T
     T = -R21.T @ t21
     return True, R, T
+
+
+def solve_relative_rt_5pt(corres, threshold_focal: float = 460.0,
+                          seed: int = 0):
+    """Explicit 5-point arm (A/B harness: scripts/dev_5pt_ab.py)."""
+    return solve_relative_rt(corres, threshold_focal, seed, method="5pt")
+
+
+def solve_relative_rt_8pt(corres, threshold_focal: float = 460.0,
+                          seed: int = 0):
+    """Explicit 8-point arm (A/B harness: scripts/dev_5pt_ab.py)."""
+    return solve_relative_rt(corres, threshold_focal, seed, method="8pt")
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,96 @@ class TestRelativeRT:
         ok, _, _ = g.solve_relative_rt(corres)
         assert not ok
 
+    def test_5pt_candidates_exact(self):
+        """The Stewenius minimal solver recovers the true E (epipolar
+        residual ~0) from 5 exact correspondences."""
+        corres, _, _ = _two_view(n=5)
+        p1 = np.asarray([c[0][:2] for c in corres])
+        p2 = np.asarray([c[1][:2] for c in corres])
+        cands = g._essential_5pt_candidates(p1, p2)
+        assert cands, "no real candidates"
+        best = min(float(g._epipolar_dist(E, p1, p2).max()) for E in cands)
+        assert best < 1e-8, f"best max epipolar residual {best:.2e}"
+
+    def test_planar_scene(self):
+        """ALL landmarks on one plane: the 8-point linear system is
+        degenerate (3-dim solution family) and the recovered translation
+        is garbage (scripts/dev_5pt_ab.py / artifacts/ab_5pt_r5.json: tdir
+        ~70 deg median); the default 5-point path must return a VALID
+        plane-induced pose. A planar two-view has a fundamental two-fold
+        (twisted-pair) ambiguity that cheirality cannot always break — the
+        reference's cv::recoverPose has the same property — so the
+        contract tested here is: the answer matches ONE of the homography
+        decompositions of the true plane motion."""
+        import cv2
+
+        n_good = 0
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            # Ground plane seen pitched-down (the mobile bootstrap case).
+            xy = rng.uniform(-2.0, 2.0, (60, 2))
+            world = np.concatenate([xy, np.zeros((60, 1))], axis=1)
+            R_cw = cv2.Rodrigues(np.array([np.deg2rad(-60.0), 0, 0]))[0]
+            t_w0 = np.array([0.0, 2.5, 2.0])
+            dR = cv2.Rodrigues(rng.normal(scale=0.08, size=3))[0]
+            dt = rng.normal(size=3)
+            dt = 0.35 * dt / np.linalg.norm(dt)
+            c1 = (world - t_w0) @ R_cw.T
+            c2 = (world - t_w0 - dt) @ (dR @ R_cw).T
+            ok_z = (c1[:, 2] > 0.2) & (c2[:, 2] > 0.2)
+            c1, c2 = c1[ok_z], c2[ok_z]
+            if len(c1) < 20:
+                continue
+            noise = 0.25 / 460.0
+            corres = []
+            for a, b in zip(c1, c2):
+                x1 = a / a[2] + np.append(rng.normal(0, noise, 2), 0.0)
+                x2 = b / b[2] + np.append(rng.normal(0, noise, 2), 0.0)
+                corres.append((x1, x2))
+            ok, R, t = g.solve_relative_rt(corres, seed=seed)
+            if not ok:
+                continue
+            # True plane in cam-1 coords: normal + distance for H = R+tn^T/d.
+            R21 = (dR @ R_cw) @ R_cw.T
+            t21 = -(dR @ R_cw) @ dt
+            n_w = np.array([0.0, 0.0, 1.0])
+            n_c1 = R_cw @ n_w
+            d = abs(np.dot(n_w, t_w0) - 0.0)  # plane z=0, cam at t_w0
+            H = R21 + np.outer(t21, n_c1) / d
+            _, Rs, Ts, _ = cv2.decomposeHomographyMat(H, np.eye(3))
+            R21_ret, t21_ret = R.T, -R.T @ t
+            best = np.inf
+            for Ri, Ti in zip(Rs, Ts):
+                Ti = Ti.ravel()
+                if np.linalg.norm(Ti) < 1e-9:
+                    continue
+                ang = np.rad2deg(np.arccos(np.clip(
+                    (np.trace(R21_ret.T @ Ri) - 1) / 2, -1, 1)))
+                ca = abs(t21_ret @ Ti) / (np.linalg.norm(t21_ret)
+                                          * np.linalg.norm(Ti))
+                td = np.rad2deg(np.arccos(np.clip(ca, -1, 1)))
+                best = min(best, max(ang, td))
+            if best < 8.0:
+                n_good += 1
+        assert n_good >= 3, f"only {n_good}/4 planar bootstraps valid"
+
+    def test_minimal_correspondence_count(self):
+        """16 correspondences (the reference gate is >=15): 5-point must
+        succeed where 8-point RANSAC starves (ab_5pt_r5.json: 8pt success
+        0.03-0.13 at this count)."""
+        n_ok = 0
+        for seed in range(6):
+            corres, R_gt, _ = _two_view(seed=seed, n=16,
+                                        noise=0.25 / 460.0)
+            ok, R, _ = g.solve_relative_rt(corres, seed=seed)
+            if not ok:
+                continue
+            ang = np.rad2deg(np.arccos(np.clip(
+                (np.trace(R.T @ R_gt) - 1) / 2, -1, 1)))
+            if ang < 2.0:
+                n_ok += 1
+        assert n_ok >= 5, f"only {n_ok}/6 minimal-count successes"
+
 
 class TestTriangulatePnP:
     def test_triangulate_point(self):

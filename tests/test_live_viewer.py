@@ -95,6 +95,30 @@ class TestLiveFollow:
         status, body = _get(port, "/")
         assert status == 200
         assert b"imu" in body  # IMU panel present
+        assert b"trk" in body  # track-overlay panel present
+
+    def test_track_overlay_payload_and_frame(self, server):
+        """The per-frame track-overlay debug view (the reference's
+        cv::imshow overlay, measurement_processor.cpp:233-246): tracks
+        pass through trajectory.json and the latest frame.png is served
+        from the run dir."""
+        run_dir, port = server
+        live = {"status": "TRACKING",
+                "tracks": {"uv": [[10.5, 20.0], [100.0, 200.0]],
+                           "cnt": [1, 25]}}
+        with open(run_dir / "live.json", "w") as f:
+            json.dump(live, f)
+        _, body = _get(port, "/trajectory.json")
+        d = json.loads(body)
+        assert d["tracks"]["uv"] == [[10.5, 20.0], [100.0, 200.0]]
+        assert d["tracks"]["cnt"] == [1, 25]
+
+        import numpy as np
+        import cv2
+        cv2.imwrite(str(run_dir / "frame.png"),
+                    np.full((32, 32), 128, np.uint8))
+        status, png = _get(port, "/frame.png")
+        assert status == 200 and png[:4] == b"\x89PNG"
 
 
 class TestVIOSystemLiveArtifacts:

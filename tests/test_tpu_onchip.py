@@ -36,3 +36,22 @@ def test_onchip_kernel_parity():
     if proc.returncode == 42:
         pytest.skip("no TPU attached")
     assert proc.returncode == 0, "on-chip parity failed (see output above)"
+
+
+@pytest.mark.tpu
+def test_onchip_north_star_perf_gate():
+    """The >=200 fps/chip north star (BASELINE.md) as a failing gate:
+    runs the real bench image path (chunked scans) on the attached chip
+    via tests/onchip_perf_gate.py and fails if the sustained rate dips
+    under the bar (VERDICT r4 weak #4: 193-vs-228 run variance straddled
+    it with nothing failing)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "onchip_perf_gate.py")],
+        capture_output=True, text=True, timeout=1800, env=env)
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+    if proc.returncode == 42:
+        pytest.skip("no TPU attached")
+    assert proc.returncode == 0, "north-star perf gate failed (see output)"

@@ -58,7 +58,8 @@ def build_payload():
         map_pts = live.get("map_points", [])
     return {"trajectory": traj, "map_points": map_pts,
             "imu": live.get("imu", {}), "status": live.get("status", ""),
-            "frames": live.get("frames", 0), "poses": live.get("poses", 0)}
+            "frames": live.get("frames", 0), "poses": live.get("poses", 0),
+            "tracks": live.get("tracks", {})}
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -82,6 +83,14 @@ class Handler(BaseHTTPRequestHandler):
         elif self.path.startswith("/trajectory.json"):
             body = json.dumps(build_payload()).encode()
             self._send(200, body, "application/json")
+        elif self.path.startswith("/frame.png"):
+            # Latest camera frame from the run dir (track-overlay panel).
+            full = os.path.join(RUN_DIR, "frame.png")
+            if os.path.isfile(full):
+                with open(full, "rb") as f:
+                    self._send(200, f.read(), "image/png")
+            else:
+                self._send(404, b"no frame yet")
         else:
             # Static files under web/ (index.html, js/*, replay harness) and
             # the replay dataset under --data. Path-traversal rejected the

@@ -423,10 +423,17 @@ def _image_path_recovering(cfg, data, frames):
     chunked scans while healthy, rebuild-and-continue streaming re-init
     when a chunk tail goes bad — the reference's failure story
     (vio_engine.cpp:248-279) at serving granularity. Returns
-    (fps, ate_sim3, poses, n_frames, n_recoveries)."""
+    (fps, ate_sim3, poses, n_frames, n_recoveries).
+
+    Serving chunk is 25 (not the throughput bench's 50): a mid-chunk gate
+    trip loses up to chunk_size - recover_tail poses before the host sees
+    the chunk, so under nuisances the smaller scan roughly halves the
+    per-event pose loss at negligible throughput cost."""
     from mobile_slam_tpu.engine.serving import ChunkedImageServer
 
-    server = ChunkedImageServer(cfg, jnp.float32, chunk_size=CHUNK)
+    adv_chunk = int(next((a.split("=")[1] for a in sys.argv
+                          if a.startswith("--adv-chunk=")), 25))
+    server = ChunkedImageServer(cfg, jnp.float32, chunk_size=adv_chunk)
     est_ts, est_p = [], []
     imu_i = 0
     t_start = time.perf_counter()
@@ -486,9 +493,20 @@ def run_adversarial_bench():
         (a.split("=")[1] for a in sys.argv
          if a.startswith("--adv-seeds=")), "11").split(",")]
 
+    # Optional camera-IMU offset override (seconds): an uncalibrated phone
+    # carries tens of ms of offset; the preset levels inject only 2-5 ms,
+    # where online td estimation is near-neutral end-to-end. The td A/B at
+    # a realistic 15 ms is the arm that shows the estimator's value.
+    offset_override = next((a.split("=")[1] for a in sys.argv
+                            if a.startswith("--adv-offset=")), None)
+
     results = []
     for lvl in levels:
         nuis = adv.LEVELS[lvl]
+        if offset_override is not None:
+            import dataclasses as _dc2
+            nuis = _dc2.replace(nuis,
+                                cam_time_offset_s=float(offset_override))
         for seed in seeds:
             scfg = sim.SimConfig(
                 duration=duration, cam_rate=20.0, imu_rate=200.0,

@@ -18,6 +18,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Match the production configuration (bench.py / cli.py pin this) so the
+# matmul-based jax.image.resize builds the same test texture here as the
+# CPU reference run.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def main() -> int:
     if jax.devices()[0].platform not in ("tpu", "axon"):
@@ -72,8 +77,13 @@ def main() -> int:
     d = np.linalg.norm(pos_x[both] - pos_p[both], axis=-1)
     check("track position parity", both.sum() >= K // 2 and d.max() < 0.05,
           f"(n={both.sum()}, max={d.max():.4f} px)")
+    # axis=-1 (NOT positional: np.linalg.norm's third positional arg is
+    # ord — ord=-1 on an (n, 2) matrix is the min column absolute sum,
+    # which summed 59 per-point errors into one 0.56 "median" and made
+    # this check fail spuriously since it landed).
     flow_err = np.linalg.norm(
-        (pos_p[both] - np.asarray(pts)[both]) - np.array([-dx, -dy]), -1)
+        (pos_p[both] - np.asarray(pts)[both]) - np.array([-dx, -dy]),
+        axis=-1)
     check("track recovers shift", np.median(flow_err) < 0.1,
           f"(median={np.median(flow_err):.4f} px)")
 
@@ -105,7 +115,8 @@ def main() -> int:
               for a, b in zip(r1, r4)))
     rpos, rok = np.asarray(r1[0]), np.asarray(r1[1])
     rerr = np.linalg.norm(
-        (rpos[rok] - np.asarray(pts)[rok]) - np.array([-dx, -dy]), -1)
+        (rpos[rok] - np.asarray(pts)[rok]) - np.array([-dx, -dy]),
+        axis=-1)
     check("refine recovers shift", rok.sum() >= K // 2
           and np.median(rerr) < 0.15,
           f"(n={rok.sum()}, median={np.median(rerr):.4f} px)")

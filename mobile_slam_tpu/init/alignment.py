@@ -32,6 +32,10 @@ class NpPreintegration:
         self.repropagate(np.zeros(3), np.zeros(3))
 
     def repropagate(self, ba, bg):
+        # Linearization biases are recorded so a later bias solve can
+        # express its correction RELATIVE to them (solve_gyroscope_bias).
+        self.ba_lin = np.asarray(ba, float).copy()
+        self.bg_lin = np.asarray(bg, float).copy()
         dp = np.zeros(3)
         dq = np.array([1.0, 0, 0, 0])
         dv = np.zeros(3)
@@ -92,13 +96,33 @@ def check_imu_excitation(frames, threshold=0.25):
 
 
 def solve_gyroscope_bias(frames):
-    """Returns clamped delta_bg; repropagates every frame's preintegration
-    with it (initial_alignment.cpp:10-66)."""
+    """Returns the ABSOLUTE gyro-bias estimate (clamped flag set when it
+    is implausibly large); repropagates every frame's preintegration with
+    it (initial_alignment.cpp:10-66).
+
+    Two state-leak subtleties the reference never faces (it re-creates
+    all_image_frame per run; our HostFrame preintegrations persist across
+    init ATTEMPTS):
+
+    * The LS solves a CORRECTION relative to the preintegrations' current
+      linearization bias (jac_q_bg is evaluated there) — after a previous
+      attempt repropagated them, treating the correction as absolute
+      poisons the bias by the previous attempt's value. Observed on the
+      noiseless EuRoC e2e: a rejected first attempt left bg=+0.05 behind,
+      the second attempt solved -0.045 "absolute", and tracking started
+      with a 2.6 deg/s orientation-rate error that ran away into a reset
+      at frame 60.
+    * A REJECTED (clamped) attempt must not mutate the shared
+      preintegrations at all — the rejection exists precisely because its
+      estimate is garbage.
+    """
     A = np.zeros((3, 3))
     b = np.zeros(3)
+    bg_lin = np.zeros(3)
     for fi, fj in zip(frames[:-1], frames[1:]):
         if fj.pre is None:
             continue
+        bg_lin = getattr(fj.pre, "bg_lin", bg_lin)
         q_ij = g.rot_to_quat(fi.R.T @ fj.R)
         tmp_A = fj.pre.jac_q_bg
         dq_inv = fj.pre.delta_q * np.array([1.0, -1, -1, -1])
@@ -108,15 +132,17 @@ def solve_gyroscope_bias(frames):
     sv = np.linalg.svd(A, compute_uv=False)
     cond = sv[0] / max(sv[2], 1e-30)
     if cond > 1e10 or not np.isfinite(cond):
-        delta_bg = np.zeros(3)
+        delta = np.zeros(3)
     else:
-        delta_bg = np.linalg.solve(A, b)
-    clamped = bool(np.any(np.abs(delta_bg) > 0.05))
-    delta_bg = np.clip(delta_bg, -0.05, 0.05)
+        delta = np.linalg.solve(A, b)
+    bg_new = bg_lin + delta
+    clamped = bool(np.any(np.abs(bg_new) > 0.05))
+    if clamped:
+        return np.clip(bg_new, -0.05, 0.05), True
     for fj in frames[1:]:
         if fj.pre is not None:
-            fj.pre.repropagate(np.zeros(3), delta_bg)
-    return delta_bg, clamped
+            fj.pre.repropagate(np.zeros(3), bg_new)
+    return bg_new, clamped
 
 
 def _tangent_basis(g0):
@@ -171,6 +197,14 @@ def refine_gravity(frames, gvec, g_norm, t_ic):
     return g0, x
 
 
+# Scale-observability gate threshold (see the in-function comment): the
+# relative marginal sigma of the scale state above which an init attempt
+# is rejected. None disables. Telemetry of the last attempt is kept in
+# last_scale_rel_sigma (probe: scripts/dev_scale_observability.py).
+SCALE_REL_SIGMA_MAX: float | None = None
+last_scale_rel_sigma: float = float("nan")
+
+
 def linear_alignment(frames, g_norm, t_ic):
     """Velocities + gravity + scale LS (initial_alignment.cpp:154-240).
     Returns (ok, gvec, x) with x = [v_0..v_{n-1} (body frames), g_refine(2),
@@ -211,6 +245,23 @@ def linear_alignment(frames, g_norm, t_ic):
     s = x[-1] / 100.0
     gvec = x[-4:-1]
     if abs(np.linalg.norm(gvec) - g_norm) > 2.5 or s < 0:
+        return False, None, None
+    # Scale-observability telemetry (beyond the reference, which accepts
+    # any s > 0 with a sane |g|): the marginal standard deviation of the
+    # scale state relative to its estimate, from the unwhitened normal
+    # matrix — a comparative degeneracy signal for init-quality probing.
+    # The optional gate (SCALE_REL_SIGMA_MAX) is OFF by default: measured
+    # values do not cleanly separate good from bad windows (a
+    # well-conditioned window can still produce a bad init through other
+    # paths, e.g. the bias state-leak fixed in solve_gyroscope_bias).
+    global last_scale_rel_sigma
+    try:
+        sigma_s = float(np.sqrt(np.linalg.inv(A)[-1, -1]))
+        last_scale_rel_sigma = sigma_s / max(abs(float(x[-1])), 1e-9)
+    except np.linalg.LinAlgError:
+        last_scale_rel_sigma = float("inf")
+    if (SCALE_REL_SIGMA_MAX is not None
+            and last_scale_rel_sigma > SCALE_REL_SIGMA_MAX):
         return False, None, None
     gvec, x = refine_gravity(frames, gvec, g_norm, t_ic)
     s = x[-1] / 100.0

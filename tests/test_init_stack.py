@@ -257,6 +257,53 @@ class TestGyroBias:
         err = np.linalg.norm(delta_bg - bg) / np.linalg.norm(bg)
         assert err < 0.1, f"gyro bias error {err*100:.1f}% ({delta_bg} vs {bg})"
 
+    def test_rejected_attempt_does_not_poison_later_attempts(self):
+        """Init attempts share HostFrame preintegrations. A first attempt
+        with garbage SfM rotations produces a clamped (rejected) bias —
+        it must leave the preintegrations UNTOUCHED, and a later attempt
+        with good rotations must still recover the true bias. Before the
+        fix, the rejected attempt repropagated with its clamp value and
+        the next attempt treated its own correction as absolute, seeding
+        tracking with a ~0.05 rad/s bias error (observed as the EuRoC
+        noiseless e2e running away into a reset at frame 60)."""
+        bg = np.array([0.02, -0.015, 0.01])
+        frames, _, _ = _make_frames(gyr_bias=bg)
+        dq_before = [f.pre.delta_q.copy() for f in frames if f.pre is not None]
+
+        # Attempt 1: corrupt the rotations -> garbage bias -> rejected.
+        good_R = [f.R.copy() for f in frames]
+        rng = np.random.default_rng(9)
+        for f in frames:
+            w = rng.normal(scale=0.5, size=3)
+            f.R = f.R @ g.exp_so3(w)
+        delta1, clamped1 = al.solve_gyroscope_bias(frames)
+        assert clamped1, "garbage rotations should clamp"
+        dq_after = [f.pre.delta_q.copy() for f in frames if f.pre is not None]
+        for a, b in zip(dq_before, dq_after):
+            np.testing.assert_array_equal(
+                a, b, err_msg="rejected attempt mutated preintegrations")
+
+        # Attempt 2: good rotations -> true bias, unpoisoned.
+        for f, R in zip(frames, good_R):
+            f.R = R
+        delta2, clamped2 = al.solve_gyroscope_bias(frames)
+        assert not clamped2
+        err = np.linalg.norm(delta2 - bg) / np.linalg.norm(bg)
+        assert err < 0.1, f"bias after rejected attempt: {delta2} vs {bg}"
+
+    def test_accepted_attempts_accumulate_bias_correctly(self):
+        """Two consecutive ACCEPTED solves (re-attempt after a downstream
+        alignment rejection) must converge on the true bias, not apply the
+        second correction as if the linearization were still at zero."""
+        bg = np.array([0.02, -0.015, 0.01])
+        frames, _, _ = _make_frames(gyr_bias=bg)
+        d1, c1 = al.solve_gyroscope_bias(frames)
+        assert not c1
+        d2, c2 = al.solve_gyroscope_bias(frames)
+        assert not c2
+        err = np.linalg.norm(d2 - bg) / np.linalg.norm(bg)
+        assert err < 0.1, f"second solve drifted: {d2} vs {bg}"
+
     def test_zero_bias_stays_zero(self):
         frames, _, _ = _make_frames()
         delta_bg, clamped = al.solve_gyroscope_bias(frames)

@@ -256,7 +256,10 @@ def linear_alignment(frames, g_norm, t_ic):
     # paths, e.g. the bias state-leak fixed in solve_gyroscope_bias).
     global last_scale_rel_sigma
     try:
-        sigma_s = float(np.sqrt(np.linalg.inv(A)[-1, -1]))
+        # A is unwhitened and can be numerically indefinite; a negative
+        # marginal variance means "unmeasurable", not an error.
+        var_s = float(np.linalg.inv(A)[-1, -1])
+        sigma_s = float(np.sqrt(var_s)) if var_s > 0 else float("inf")
         last_scale_rel_sigma = sigma_s / max(abs(float(x[-1])), 1e-9)
     except np.linalg.LinAlgError:
         last_scale_rel_sigma = float("inf")

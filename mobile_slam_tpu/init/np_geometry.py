@@ -267,15 +267,21 @@ def solve_relative_rt(corres, threshold_focal: float = 460.0,
         idx = rng.choice(n, k, replace=False)
         for E in hypotheses(idx):
             if consider(E):
-                # 0.99-confidence adaptive budget (RANSAC standard):
-                # enough samples that an all-inlier draw is near-certain.
+                # 0.99-confidence adaptive budget (RANSAC standard), with
+                # a floor of 48 samples: once the inlier count saturates
+                # (clean data) the winner is chosen by the truncated-error
+                # score, and collapsing to ~16 samples starves that
+                # contest of diversity (observed as 2-8 deg seed-rotation
+                # scatter on narrow-FOV EuRoC init windows, enough to send
+                # the e2e run through a reset).
                 ratio = best_cnt / n
                 if ratio > 0.999:
-                    max_iters = min(max_iters, it + 16)
+                    max_iters = min(max_iters, max(it + 16, 48))
                 elif ratio > 0:
                     need = np.log(0.01) / np.log(
                         max(1.0 - ratio ** k, 1e-12))
-                    max_iters = min(max_iters, it + 1 + int(np.ceil(need)))
+                    max_iters = min(max_iters,
+                                    max(it + 1 + int(np.ceil(need)), 48))
         it += 1
     if best_cnt < 12 or best_E is None:
         return False, None, None
